@@ -1,0 +1,130 @@
+"""Image resampling ops matching the reference's host-side resizers.
+
+The reference mixes three resizers on the hot path:
+  * ``scipy.ndimage.zoom(order=1)`` for the full-res ab upsample
+    (ref: data/colorize_image.py:123-158) — align-corners bilinear,
+  * ``scipy.ndimage.zoom(order=0)`` for full-res masks — align-corners nearest,
+  * ``cv2.resize`` (half-pixel) for image loading (ref: data/colorize_image.py:58).
+
+Here all of them are pure jittable gathers so they fuse into the surrounding
+XLA program (the full-res fusion pipeline runs upsample + L-fusion + lab2rgb
+as one device program instead of three host libraries).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _align_corners_coords(n_in: int, n_out: int) -> jax.Array:
+    """Output-pixel -> input-pixel coordinates, scipy.ndimage.zoom style."""
+    if n_out == 1 or n_in == 1:
+        return jnp.zeros((n_out,), jnp.float32)
+    return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+
+def _linear_1d(x: jax.Array, n_out: int, axis: int) -> jax.Array:
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    c = _align_corners_coords(n_in, n_out)
+    i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+    w = c - i0.astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w = w.reshape(shape)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    return x0 * (1.0 - w) + x1 * w
+
+
+def _nearest_1d(x: jax.Array, n_out: int, axis: int) -> jax.Array:
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    c = _align_corners_coords(n_in, n_out)
+    # scipy order=0 rounds half up (coordinate + 0.5 floored).
+    idx = jnp.clip(jnp.floor(c + 0.5).astype(jnp.int32), 0, n_in - 1)
+    return jnp.take(x, idx, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "order", "h_axis", "w_axis"))
+def zoom_to(x: jax.Array, out_hw: tuple[int, int], order: int = 1,
+            h_axis: int = -2, w_axis: int = -1) -> jax.Array:
+    """Resample two axes to ``out_hw`` with scipy.ndimage.zoom semantics.
+
+    ``order=1`` -> align-corners bilinear, ``order=0`` -> nearest.
+    Defaults to (C, H, W) layout (the reference's channel-first arrays).
+    """
+    h_axis = h_axis % x.ndim
+    w_axis = w_axis % x.ndim
+    fn = _linear_1d if order == 1 else _nearest_1d
+    x = fn(x.astype(jnp.float32) if order == 1 else x, out_hw[0], h_axis)
+    x = fn(x, out_hw[1], w_axis)
+    return x
+
+
+def scipy_zoom_out_size(n_in: int, factor: float) -> int:
+    """Output length scipy.ndimage.zoom produces for a given factor."""
+    return int(round(n_in * factor))
+
+
+@partial(jax.jit, static_argnames=("out_hw", "antialias"))
+def resize_half_pixel(x: jax.Array, out_hw: tuple[int, int],
+                      antialias: bool = False) -> jax.Array:
+    """Half-pixel-centers bilinear resize of (H, W, C), cv2.INTER_LINEAR-like.
+
+    Used for the 256x256 network-input resize (ref: data/colorize_image.py:58
+    uses cv2.resize, which is half-pixel bilinear without antialiasing).
+    """
+    return jax.image.resize(
+        x.astype(jnp.float32), (out_hw[0], out_hw[1], x.shape[-1]),
+        method="linear", antialias=antialias)
+
+
+def upsample_nearest(x: jax.Array, factor: int,
+                     h_axis: int = -3, w_axis: int = -2) -> jax.Array:
+    """Integer-factor nearest upsample (torch nn.Upsample(mode='nearest')).
+
+    Used by the SIGGRAPH dist head's x4 distribution upsample
+    (ref: models/pytorch/model.py:131).  Default layout NHWC.
+    """
+    x = jnp.repeat(x, factor, axis=h_axis % x.ndim)
+    return jnp.repeat(x, factor, axis=w_axis % x.ndim)
+
+
+# Fixed 2x bilinear upsampling kernel the reference injects into the Caffe
+# '*_us' grouped deconvolutions (ref: data/colorize_image.py:409-413).
+CAFFE_US_KERNEL = jnp.array(
+    [[0.25, 0.5, 0.25, 0.0],
+     [0.5, 1.0, 0.5, 0.0],
+     [0.25, 0.5, 0.25, 0.0],
+     [0.0, 0.0, 0.0, 0.0]], dtype=jnp.float32)
+
+
+def bilinear_up2_fixed(x: jax.Array) -> jax.Array:
+    """Depthwise 2x transposed conv with the fixed reference kernel.
+
+    Equivalent to Caffe ``Deconvolution(kernel=4, stride=2, pad=1,
+    group=C, weights=CAFFE_US_KERNEL)`` (ref: deploy_nopred.prototxt:777-804).
+    Layout NHWC, output spatial dims exactly 2x input.
+    """
+    n, h, w, c = x.shape
+    # Transposed conv == conv over an lhs-dilated input with flipped kernel;
+    # the kernel is symmetric under the required flip except for the zero
+    # row/col, which the flip moves to the leading edge.
+    k = CAFFE_US_KERNEL[::-1, ::-1]
+    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, depthwise
+    return jax.lax.conv_general_dilated(
+        x, kern,
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),   # k-1-p = 2 per side (exact 2x output)
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )

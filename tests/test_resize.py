@@ -1,0 +1,62 @@
+import numpy as np
+from scipy.ndimage import zoom as scipy_zoom
+
+from ideepcolor_tpu.ops import resize
+
+RNG = np.random.default_rng(1)
+
+
+def test_zoom_bilinear_matches_scipy_upsample():
+    x = RNG.random((2, 37, 53)).astype(np.float32)
+    out = np.asarray(resize.zoom_to(x, (111, 222), order=1))
+    want = scipy_zoom(x, (1, 111 / 37, 222 / 53), order=1)
+    assert out.shape == want.shape
+    assert np.max(np.abs(out - want)) < 1e-4
+
+
+def test_zoom_bilinear_matches_scipy_downsample():
+    x = RNG.random((2, 100, 80)).astype(np.float32)
+    out = np.asarray(resize.zoom_to(x, (31, 17), order=1))
+    want = scipy_zoom(x, (1, 31 / 100, 17 / 80), order=1)
+    assert np.max(np.abs(out - want)) < 1e-4
+
+
+def test_zoom_nearest_matches_scipy():
+    x = RNG.random((1, 20, 20)).astype(np.float32)
+    out = np.asarray(resize.zoom_to(x, (57, 43), order=0))
+    want = scipy_zoom(x, (1, 57 / 20, 43 / 20), order=0)
+    assert np.array_equal(out, want)
+
+
+def test_out_size_matches_scipy():
+    for n, f in [(37, 3.0), (256, 1837 / 256), (100, 0.31)]:
+        want = scipy_zoom(np.zeros((n,)), f, order=0).shape[0]
+        assert resize.scipy_zoom_out_size(n, f) == want
+
+
+def test_upsample_nearest_matches_torch():
+    import torch
+    x = RNG.random((1, 7, 9, 5)).astype(np.float32)
+    out = np.asarray(resize.upsample_nearest(x, 4))
+    t = torch.nn.Upsample(scale_factor=4, mode="nearest")(
+        torch.tensor(x.transpose(0, 3, 1, 2)))
+    want = t.numpy().transpose(0, 2, 3, 1)
+    assert np.array_equal(out, want)
+
+
+def test_bilinear_up2_fixed_matches_torch_deconv():
+    import torch
+    c = 6
+    x = RNG.random((1, 10, 12, c)).astype(np.float32)
+    out = np.asarray(resize.bilinear_up2_fixed(x))
+    assert out.shape == (1, 20, 24, c)
+    deconv = torch.nn.ConvTranspose2d(c, c, 4, stride=2, padding=1,
+                                      groups=c, bias=False)
+    k = np.array([[.25, .5, .25, 0], [.5, 1., .5, 0],
+                  [.25, .5, .25, 0], [0, 0, 0, 0]], np.float32)
+    with torch.no_grad():
+        deconv.weight.copy_(torch.tensor(
+            np.tile(k[None, None], (c, 1, 1, 1))))
+    want = deconv(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy()
+    want = want.transpose(0, 2, 3, 1)
+    assert np.max(np.abs(out - want)) < 1e-5
