@@ -8,6 +8,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: the parity tests jit big U-Nets at HIGHEST
+# precision; caching cuts repeat suite runs from minutes to seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/ideepcolor_tpu_test_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
