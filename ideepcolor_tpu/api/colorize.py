@@ -1,0 +1,563 @@
+"""ColorizeImageBase-compatible API facade over the TPU engine.
+
+This is the stability boundary of the reference (its GUI and both notebooks
+only touch this surface — ref: data/colorize_image.py:39-198): numpy
+channel-first arrays in, uint8 RGB images out, with the same method names,
+argument conventions and state fields. Behind the facade, every compute
+stage is a fused XLA program from :mod:`ideepcolor_tpu.engine.pipeline`.
+
+Backend classes:
+  ColorizeImageJax           — SIGGRAPH U-Net (reference torch backend,
+                               ref data/colorize_image.py:201-276)
+  ColorizeImageJaxDist       — + 529-bin distribution head (ref :279-372)
+  ColorizeImageJaxCaffe      — Caffe main graph (ref :375-442)
+  ColorizeImageJaxCaffeDist  — Caffe dist graph + suggestions (ref :466-561)
+  ColorizeImageJaxCaffeGlobDist — Caffe global-histogram graph (ref :445-463)
+
+Aliases named after the reference backends (ColorizeImageTorch, ...) are
+exported so reference-style code runs unchanged.
+
+Weight loading: ``prep_net(path=...)`` accepts a torch ``.pth`` state dict
+(the published checkpoints' format) or an ``.npz`` of converted params.
+Without a path the net initializes randomly — useful for integration tests
+and benchmarking; the published weights are not redistributable here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.color_bins import get_bins
+from ..engine import pipeline as P
+from ..models import caffe_net, siggraph
+from ..ops import quantize
+from ..ops.quantize import make_pts_grid
+
+
+def lab2rgb_transpose(img_l, img_ab) -> np.ndarray:
+    """(1,H,W) L + (2,H,W) ab -> (H,W,3) uint8 (ref colorize_image.py:20)."""
+    return np.asarray(P.compose_rgb_u8(
+        jnp.asarray(img_l, jnp.float32).transpose(1, 2, 0),
+        jnp.asarray(img_ab, jnp.float32).transpose(1, 2, 0)))
+
+
+def rgb2lab_transpose(img_rgb) -> np.ndarray:
+    """(H,W,3) RGB -> (3,H,W) Lab (ref colorize_image.py:31). Accepts uint8
+    or float in [0,1]."""
+    rgb = _to_float01(img_rgb)
+    return np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb))).transpose(2, 0, 1)
+
+
+def _to_float01(img) -> np.ndarray:
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected (H,W,3) RGB image, got {img.shape}")
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
+
+
+def _load_checkpoint(path: str) -> dict | None:
+    if not path:
+        return None
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    if path.endswith((".pth", ".pt")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        if hasattr(sd, "_metadata"):
+            del sd._metadata
+        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sd.items()
+                if "num_batches_tracked" not in k}
+    raise ValueError(f"unsupported checkpoint format: {path}")
+
+
+class ColorizeImageBase:
+    """Image state + hint normalization + full-res reconstruction.
+
+    Mirrors ref data/colorize_image.py:39-198. State fields keep the
+    reference's channel-first numpy conventions; device-side mirrors are
+    held privately for the fused getters.
+    """
+
+    def __init__(self, Xd: int = 256, Xfullres_max: int = 10000):
+        self.Xd = Xd
+        self.img_l_set = False
+        self.net_set = False
+        self.Xfullres_max = Xfullres_max
+        self.img_just_set = False
+
+    # ----- image prep -----
+    def load_image(self, input_path: str):
+        import cv2
+        im = cv2.cvtColor(cv2.imread(input_path, 1), cv2.COLOR_BGR2RGB)
+        self.img_rgb_fullres = im.copy()
+        self._set_img_lab_fullres_()
+        im = cv2.resize(im, (self.Xd, self.Xd))
+        self.img_rgb = im.copy()
+        self.img_l_set = True
+        self._set_img_lab_()
+        self._set_img_lab_mc_()
+
+    def set_image(self, input_image: np.ndarray):
+        self.img_rgb_fullres = np.asarray(input_image).copy()
+        self._set_img_lab_fullres_()
+        self.img_l_set = True
+        self.img_rgb = np.asarray(input_image)
+        self._set_img_lab_()
+        self._set_img_lab_mc_()
+
+    def prep_net(self):
+        raise NotImplementedError("implemented by backends")
+
+    # ----- forward -----
+    def net_forward(self, input_ab, input_mask):
+        """ab (2,Xd,Xd) non-normalized hints; mask (1,Xd,Xd) in {0,1}."""
+        if not self.img_l_set:
+            print('I need to have an image!')
+            return -1
+        if not self.net_set:
+            print('I need to have a net!')
+            return -1
+        self.input_ab = np.asarray(input_ab, np.float32)
+        self.input_ab_mc = (self.input_ab - self.ab_mean) / self.ab_norm
+        self.input_mask = np.asarray(input_mask, np.float32)
+        self.input_mask_mult = self.input_mask * self.mask_mult
+        return 0
+
+    # ----- quality probe -----
+    def get_result_PSNR(self, result=-1, return_SE_map=False):
+        if np.array(result).flatten()[0] == -1:
+            cur_result = self.get_img_forward()
+        else:
+            cur_result = np.asarray(result).copy()
+        SE_map = (1. * self.img_rgb - cur_result) ** 2
+        cur_MSE = np.mean(SE_map)
+        cur_PSNR = 20 * np.log10(255. / np.sqrt(cur_MSE))
+        return (cur_PSNR, SE_map) if return_SE_map else cur_PSNR
+
+    # ----- getters (each one fused device program + single readback) -----
+    def get_img_forward(self):
+        return self.output_rgb
+
+    def get_img_gray(self):
+        z = np.zeros((2, self.Xd, self.Xd), np.float32)
+        return lab2rgb_transpose(self.img_l, z)
+
+    def get_img_gray_fullres(self):
+        h, w = self.img_l_fullres.shape[1:]
+        return lab2rgb_transpose(self.img_l_fullres,
+                                 np.zeros((2, h, w), np.float32))
+
+    def get_img_fullres(self):
+        out_hw = self.img_l_fullres.shape[1:]
+        return np.asarray(P.fullres_fuse(
+            self._dev_l_fullres, self._dev_output_ab, tuple(out_hw)))
+
+    def get_input_img_fullres(self):
+        out_hw = self.img_l_fullres.shape[1:]
+        ab = jnp.asarray(self.input_ab.transpose(1, 2, 0))
+        return np.asarray(P.fullres_fuse(self._dev_l_fullres, ab,
+                                         tuple(out_hw)))
+
+    def get_input_img(self):
+        return lab2rgb_transpose(self.img_l, self.input_ab)
+
+    def get_img_mask(self):
+        return lab2rgb_transpose(100. * (1 - self.input_mask),
+                                 np.zeros((2, self.Xd, self.Xd), np.float32))
+
+    def get_img_mask_fullres(self):
+        out_hw = tuple(self.img_l_fullres.shape[1:])
+        mask = P.zoom_planes(
+            jnp.asarray(self.input_mask.transpose(1, 2, 0)), out_hw, order=0)
+        l = 100.0 * (1 - mask)
+        zeros = jnp.zeros(out_hw + (2,), jnp.float32)
+        return np.asarray(P.compose_rgb_u8(l, zeros))
+
+    def get_sup_img(self):
+        return lab2rgb_transpose(50 * self.input_mask, self.input_ab)
+
+    def get_sup_fullres(self):
+        out_hw = tuple(self.img_l_fullres.shape[1:])
+        planes = jnp.asarray(
+            np.concatenate([self.input_mask, self.input_ab], 0)
+            .transpose(1, 2, 0))
+        up = P.zoom_planes(planes, out_hw, order=0)
+        return np.asarray(P.compose_rgb_u8(50 * up[..., :1], up[..., 1:]))
+
+    # ----- private -----
+    def _set_img_lab_fullres_(self):
+        X, Y = self.img_rgb_fullres.shape[:2]
+        if X > self.Xfullres_max or Y > self.Xfullres_max:
+            zf = self.Xfullres_max / max(X, Y)
+            out_hw = (int(round(X * zf)), int(round(Y * zf)))
+            self.img_rgb_fullres = np.asarray(P.zoom_planes(
+                jnp.asarray(self.img_rgb_fullres, jnp.float32), out_hw,
+                order=1)).astype(self.img_rgb_fullres.dtype)
+
+        rgb01 = _to_float01(self.img_rgb_fullres)
+        lab = np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb01)))
+        self.img_lab_fullres = lab.transpose(2, 0, 1)
+        self.img_l_fullres = self.img_lab_fullres[[0]]
+        self.img_ab_fullres = self.img_lab_fullres[1:]
+        self._dev_l_fullres = jnp.asarray(lab[..., :1])
+
+    def _set_img_lab_(self):
+        rgb01 = _to_float01(self.img_rgb)
+        lab = np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb01)))
+        self.img_lab = lab.transpose(2, 0, 1)
+        self.img_l = self.img_lab[[0]]
+        self.img_ab = self.img_lab[1:]
+        self._dev_l_net = jnp.asarray(lab[..., :1])      # (Xd, Xd, 1)
+
+    def _set_img_lab_mc_(self):
+        norm = np.array([self.l_norm, self.ab_norm, self.ab_norm])
+        mean = np.array([self.l_mean, self.ab_mean, self.ab_mean])
+        self.img_lab_mc = (self.img_lab / norm[:, None, None]
+                           - (mean / norm)[:, None, None])
+        self._set_img_l_()
+
+    def _set_img_l_(self):
+        self.img_l_mc = self.img_lab_mc[[0]]
+        self.img_l_set = True
+        self._dev_l_mc = jnp.asarray(
+            self.img_l_mc.transpose(1, 2, 0))            # (Xd, Xd, 1)
+
+    def _set_img_ab_(self):
+        self.img_ab_mc = self.img_lab_mc[[1, 2]]
+
+    def _set_out_ab_(self):
+        # parity with ref colorize_image.py:196-198: output_ab is re-derived
+        # from the QUANTIZED uint8 output image, not the raw prediction
+        # (the fused click program computes it on device; numpy mirrors
+        # materialize lazily to avoid extra tunnel readbacks).
+        self._out_ab_np = None
+        self._out_lab_np = None
+        if getattr(self, "_dev_output_ab", None) is None:
+            self._dev_output_ab = jnp.asarray(
+                rgb2lab_transpose(self.output_rgb)[1:]
+                .transpose(1, 2, 0).astype(np.float32))
+
+    @property
+    def output_ab(self):
+        if getattr(self, "_out_ab_np", None) is None:
+            self._out_ab_np = np.asarray(
+                self._dev_output_ab).transpose(2, 0, 1)
+        return self._out_ab_np
+
+    @property
+    def output_lab(self):
+        if getattr(self, "_out_lab_np", None) is None:
+            self._out_lab_np = rgb2lab_transpose(self.output_rgb)
+        return self._out_lab_np
+
+
+class ColorizeImageJax(ColorizeImageBase):
+    """SIGGRAPH U-Net backend (reference torch backend semantics:
+    l_norm=ab_norm=1, l_mean=50, mask_mult=1, optional maskcent)."""
+
+    def __init__(self, Xd=256, maskcent=False):
+        super().__init__(Xd)
+        self.l_norm = 1.
+        self.ab_norm = 1.
+        self.l_mean = 50.
+        self.ab_mean = 0.
+        self.mask_mult = 1.
+        self.mask_cent = .5 if maskcent else 0
+        self.pts_in_hull = make_pts_grid()               # 529x2 full grid
+
+    def prep_net(self, gpu_id=None, path='', dist=False):
+        sd = _load_checkpoint(path)
+        if sd is None:
+            self.params = siggraph.init_params(jax.random.key(0))
+        elif any(k.startswith("model1.") for k in sd):
+            self.params = siggraph.from_torch_state_dict(sd)
+        else:
+            self.params = {k: jnp.asarray(v) for k, v in sd.items()}
+        self.dist = dist
+        if not dist:
+            self._click = P.make_click_program(
+                lambda params, A, B, M, mc: siggraph.apply(
+                    params, A, B, M, mc, dist=False))
+        self.net_set = True
+
+    def net_forward(self, input_ab, input_mask):
+        if super().net_forward(input_ab, input_mask) == -1:
+            return -1
+        A = self._dev_l_mc[None]
+        B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
+        M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
+        if self.dist:
+            # Reference dist backend returns the raw (double-110-scaled)
+            # regression array and does NOT compose an RGB frame
+            # (ref data/colorize_image.py:297-320).
+            reg2, dist_cl = siggraph.apply(self.params, A, B, M,
+                                           self.mask_cent, dist=True)
+            self._dev_dist = dist_cl[0]                  # (Xd, Xd, 529)
+            return np.asarray(reg2[0]).transpose(2, 0, 1)
+        rgb, out_ab = self._click(self._dev_l_net, self.params, A, B, M,
+                                  self.mask_cent)
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb
+
+
+class ColorizeImageJaxDist(ColorizeImageJax):
+    """SIGGRAPH backend with the 529-bin distribution head
+    (ref data/colorize_image.py:279-372)."""
+
+    def __init__(self, Xd=256, maskcent=False):
+        super().__init__(Xd, maskcent)
+        self.dist_ab_set = False
+        self.pts_grid = make_pts_grid()
+        self.in_hull = np.ones(529, dtype=bool)
+        self.AB = 529
+        self.A = self.B = 23
+        self._rng_key = jax.random.key(0)
+
+    def prep_net(self, gpu_id=None, path='', dist=True, S=.2):
+        super().prep_net(gpu_id, path, dist=True)
+
+    def net_forward(self, input_ab, input_mask):
+        out = super().net_forward(input_ab, input_mask)
+        if np.array(out).flatten()[0] == -1:
+            return -1
+        self.dist_ab_set = True
+        self._dist_np = None          # numpy mirrors are lazy (134MB readback)
+        return out
+
+    @property
+    def dist_ab(self):
+        if self._dist_np is None:
+            self._dist_np = np.asarray(self._dev_dist).transpose(2, 0, 1)
+        return self._dist_np
+
+    @property
+    def dist_ab_full(self):
+        return self.dist_ab
+
+    @property
+    def dist_ab_grid(self):
+        return self.dist_ab_full.reshape((self.A, self.B, self.Xd, self.Xd))
+
+    def get_ab_reccs(self, h, w, K=5, N=25000, return_conf=False):
+        if not self.dist_ab_set:
+            print('Need to set prediction first')
+            return 0
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        centers, conf = P.suggest_at(
+            self._dev_dist, jnp.int32(h), jnp.int32(w),
+            jnp.asarray(self.pts_in_hull, jnp.float32), sub, K=K, N=N)
+        centers, conf = np.asarray(centers), np.asarray(conf)
+        return (centers, conf) if return_conf else centers
+
+    def compute_entropy(self):
+        self.dist_entropy = np.asarray(P.dist_entropy(self._dev_dist))
+
+    def plot_dist_grid(self, h, w):
+        import matplotlib.pyplot as plt
+        plt.figure()
+        plt.imshow(self.dist_ab_grid[:, :, h, w],
+                   extent=[-110, 110, 110, -110], interpolation='nearest')
+        plt.colorbar()
+        plt.ylabel('a')
+        plt.xlabel('b')
+
+    def plot_dist_entropy(self):
+        import matplotlib.pyplot as plt
+        plt.figure()
+        plt.imshow(-self.dist_entropy, interpolation='nearest')
+        plt.colorbar()
+
+
+class ColorizeImageJaxCaffe(ColorizeImageBase):
+    """Caffe main-graph backend (mask_mult=110, ref :375-442)."""
+
+    variant = "main"
+
+    def __init__(self, Xd=256):
+        super().__init__(Xd)
+        self.l_norm = 1.
+        self.ab_norm = 1.
+        self.l_mean = 50.
+        self.ab_mean = 0.
+        self.mask_mult = 110.
+        self.pred_ab_layer = 'pred_ab'
+        self.pts_in_hull = get_bins().pts_in_hull
+
+    def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path=''):
+        sd = _load_checkpoint(caffemodel_path) if (
+            caffemodel_path and not caffemodel_path.endswith(".caffemodel")
+        ) else None
+        if sd is None:
+            self.params = caffe_net.init_params(jax.random.key(0),
+                                                self.variant)
+        else:
+            self.params = {k: jnp.asarray(v) for k, v in sd.items()}
+        self._make_click()
+        self.net_set = True
+
+    def _make_click(self):
+        mm = self.mask_mult
+
+        def fwd(params, l_mc, ab, mask):
+            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+            return caffe_net.apply_main(params, blob)
+
+        self._click = P.make_click_program(fwd)
+
+    def net_forward(self, input_ab, input_mask):
+        if super().net_forward(input_ab, input_mask) == -1:
+            return -1
+        rgb, out_ab = self._click(
+            self._dev_l_net, self.params, self._dev_l_mc,
+            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
+            jnp.asarray(self.input_mask.transpose(1, 2, 0)))
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb
+
+
+class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
+    """Caffe global-histogram backend (ref :445-463)."""
+
+    variant = "global"
+
+    def __init__(self, Xd=256):
+        super().__init__(Xd)
+        self.glob_mask_mult = 1.
+        self.glob_layer = 'glob_ab_313_mask'
+
+    def net_forward(self, input_ab, input_mask, glob_dist=-1):
+        if super(ColorizeImageJaxCaffe, self).net_forward(
+                input_ab, input_mask) == -1:
+            return -1
+        if np.array(glob_dist).flatten()[0] == -1:
+            glob = np.zeros((1, 314), np.float32)
+        else:
+            glob = np.concatenate(
+                [np.asarray(glob_dist, np.float32).ravel(),
+                 [self.glob_mask_mult]]).astype(np.float32)[None]
+        rgb, out_ab = self._click(
+            self._dev_l_net, self.params, self._dev_l_mc,
+            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
+            jnp.asarray(self.input_mask.transpose(1, 2, 0)),
+            jnp.asarray(glob))
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb
+
+    def _make_click(self):
+        mm = self.mask_mult
+
+        def fwd(params, l_mc, ab, mask, glob):
+            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+            return caffe_net.apply_global(params, blob, glob)
+
+        self._click = P.make_click_program(fwd)
+
+
+class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
+    """Caffe dist-graph backend with suggestions (ref :466-561)."""
+
+    variant = "dist"
+
+    def __init__(self, Xd=256):
+        super().__init__(Xd)
+        self.dist_ab_set = False
+        bins = get_bins()
+        self.pts_grid = bins.pts_grid
+        self.in_hull = bins.in_hull
+        self.AB = 529
+        self.A = self.B = 23
+        self._rng_key = jax.random.key(0)
+
+    def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path='',
+                 S=.2):
+        super().prep_net(gpu_id, prototxt_path, caffemodel_path)
+        self.S = S
+        self.params["scale_S.scale"] = jnp.asarray(S, jnp.float32)
+
+    def _make_click(self):
+        mm = self.mask_mult
+
+        @jax.jit
+        def click(l_net, params, l_mc, ab, mask):
+            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+            pred_ab, dist_S = caffe_net.apply_dist(params, blob)
+            rgb = P.compose_rgb_u8(l_net, pred_ab[0])
+            return rgb, P.requantized_ab(rgb), dist_S[0]
+
+        self._click = click
+
+    def net_forward(self, input_ab, input_mask):
+        if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:
+            return -1
+        rgb, out_ab, dist_S = self._click(
+            self._dev_l_net, self.params, self._dev_l_mc,
+            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
+            jnp.asarray(self.input_mask.transpose(1, 2, 0)))
+        self._dev_dist = dist_S                          # (Xd, Xd, 313)
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        self.dist_ab_set = True
+        self._dist_np = None
+        self._dist_full_np = None
+        return self.output_rgb
+
+    @property
+    def dist_ab(self):
+        if self._dist_np is None:
+            self._dist_np = np.asarray(self._dev_dist).transpose(2, 0, 1)
+        return self._dist_np
+
+    @property
+    def dist_ab_full(self):
+        if self._dist_full_np is None:
+            # scatter the 313 in-hull bins into the full 529 grid
+            # (ref data/colorize_image.py:499-506)
+            self._dist_full_np = np.asarray(quantize.scatter_to_grid(
+                jnp.asarray(self.dist_ab), self.in_hull)).reshape(
+                    529, self.Xd, self.Xd)
+        return self._dist_full_np
+
+    @property
+    def dist_ab_grid(self):
+        return self.dist_ab_full.reshape((self.A, self.B, self.Xd, self.Xd))
+
+    def get_ab_reccs(self, h, w, K=5, N=25000, return_conf=False):
+        if not self.dist_ab_set:
+            print('Need to set prediction first')
+            return 0
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        centers, conf = P.suggest_at(
+            self._dev_dist, jnp.int32(h), jnp.int32(w),
+            jnp.asarray(self.pts_in_hull, jnp.float32), sub, K=K, N=N)
+        centers, conf = np.asarray(centers), np.asarray(conf)
+        return (centers, conf) if return_conf else centers
+
+    def compute_entropy(self):
+        self.dist_entropy = np.asarray(P.dist_entropy(self._dev_dist))
+
+    plot_dist_grid = ColorizeImageJaxDist.plot_dist_grid
+    plot_dist_entropy = ColorizeImageJaxDist.plot_dist_entropy
+
+
+# Drop-in aliases: reference-style code instantiates these names
+# (ref ideepcolor.py:60-74, notebooks cell 1).
+ColorizeImageTorch = ColorizeImageJax
+ColorizeImageTorchDist = ColorizeImageJaxDist
+ColorizeImageCaffe = ColorizeImageJaxCaffe
+ColorizeImageCaffeDist = ColorizeImageJaxCaffeDist
+ColorizeImageCaffeGlobDist = ColorizeImageJaxCaffeGlobDist

@@ -1,0 +1,169 @@
+"""Integration tests of the ColorizeImageBase-compatible facade: the
+scripted notebook sessions (ref DemoInteractiveColorization.ipynb) and the
+getter contract, run headless with randomly initialized weights."""
+import os
+
+import numpy as np
+import pytest
+
+from ideepcolor_tpu import api
+from ideepcolor_tpu.ops.hints import put_point
+
+IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(IMG),
+                                reason="test image unavailable")
+
+
+def _rand_image(seed=0, h=300, w=400):
+    rng = np.random.default_rng(seed)
+    return (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def caffe_model():
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    m.load_image(IMG)
+    return m
+
+
+def test_zero_hint_session(caffe_model):
+    m = caffe_model
+    mask = np.zeros((1, 64, 64))
+    input_ab = np.zeros((2, 64, 64))
+    out = m.net_forward(input_ab, mask)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    full = m.get_img_fullres()
+    assert full.shape == m.img_rgb_fullres.shape and full.dtype == np.uint8
+    gray = m.get_img_gray_fullres()
+    assert gray.shape == full.shape
+
+
+def test_put_point_session(caffe_model):
+    m = caffe_model
+    input_ab = np.zeros((2, 64, 64))
+    mask = np.zeros((1, 64, 64))
+    put_point(input_ab, mask, [33, 40], 2, [23, -69])
+    out1 = m.net_forward(input_ab, mask)
+    assert out1 is not None and out1.shape == (64, 64, 3)
+    # adding a hint changes the result
+    out0 = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    assert not np.array_equal(out0, out1)
+    # all reference getters function and produce full-res-consistent shapes
+    assert m.get_input_img().shape == (64, 64, 3)
+    assert m.get_input_img_fullres().shape == m.img_rgb_fullres.shape
+    assert m.get_img_mask().shape == (64, 64, 3)
+    assert m.get_img_mask_fullres().shape == m.img_rgb_fullres.shape
+    assert m.get_sup_img().shape == (64, 64, 3)
+    assert m.get_sup_fullres().shape == m.img_rgb_fullres.shape
+    psnr = m.get_result_PSNR()
+    assert np.isfinite(psnr)
+
+
+def test_forward_without_image_or_net():
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    assert m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64))) == -1
+    m2 = api.ColorizeImageJaxCaffe(Xd=64)
+    m2.prep_net(None)
+    assert m2.net_forward(np.zeros((2, 64, 64)),
+                          np.zeros((1, 64, 64))) == -1
+
+
+def test_load_image_large_input_capped(tmp_path):
+    import cv2
+    p = str(tmp_path / "big.png")
+    cv2.imwrite(p, _rand_image(h=260, w=130)[:, :, ::-1])
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.Xfullres_max = 128
+    m.prep_net(None)
+    m.load_image(p)
+    # full-res capped to Xfullres_max on the longer side
+    # (ref data/colorize_image.py:161-170)
+    assert max(m.img_rgb_fullres.shape[:2]) == 128
+    assert m.img_rgb.shape == (64, 64, 3)
+    m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    assert m.get_img_fullres().shape == m.img_rgb_fullres.shape
+
+
+def test_caffe_dist_suggestions():
+    m = api.ColorizeImageJaxCaffeDist(Xd=64)
+    m.prep_net(None, S=0.2)
+    assert float(m.params["scale_S.scale"]) == pytest.approx(0.2)
+    m.set_image(_rand_image(1, 64, 64))
+    out = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    assert out.shape == (64, 64, 3)
+    assert m.dist_ab.shape == (313, 64, 64)
+    assert m.dist_ab_full.shape == (529, 64, 64)
+    assert m.dist_ab_grid.shape == (23, 23, 64, 64)
+    # distributions are normalized per pixel
+    assert np.allclose(m.dist_ab.sum(0), 1.0, atol=1e-4)
+    centers, conf = m.get_ab_reccs(10, 12, K=5, N=5000, return_conf=True)
+    assert centers.shape == (5, 2) and conf.shape == (5,)
+    assert conf[0] >= conf[-1] >= 0
+    m.compute_entropy()
+    assert m.dist_entropy.shape == (64, 64)
+
+
+def test_torch_dist_backend():
+    m = api.ColorizeImageJaxDist(Xd=64, maskcent=True)
+    m.prep_net(path='')
+    m.set_image(_rand_image(2, 64, 64))
+    ret = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    # reference dist backend returns the raw double-scaled regression
+    assert ret.shape == (2, 64, 64)
+    assert np.abs(ret).max() <= 110 * 110
+    assert m.dist_ab.shape == (529, 64, 64)
+    centers = m.get_ab_reccs(5, 5, K=3, N=2000)
+    assert centers.shape == (3, 2)
+
+
+def test_glob_dist_backend():
+    m = api.ColorizeImageJaxCaffeGlobDist(Xd=64)
+    m.prep_net(None)
+    m.set_image(_rand_image(3, 64, 64))
+    out_auto = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    rng = np.random.default_rng(4)
+    hist = rng.dirichlet(np.ones(313))
+    out_hist = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)),
+                             hist)
+    assert out_auto.shape == out_hist.shape == (64, 64, 3)
+    assert not np.array_equal(out_auto, out_hist)
+
+
+def test_siggraph_backend_roundtrip():
+    m = api.ColorizeImageJax(Xd=64)
+    m.prep_net(path='')
+    m.set_image(_rand_image(5, 64, 64))
+    out = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    assert m.output_ab.shape == (2, 64, 64)
+
+
+def test_reference_alias_names():
+    assert api.ColorizeImageTorch is api.ColorizeImageJax
+    assert api.ColorizeImageCaffe is api.ColorizeImageJaxCaffe
+    assert api.ColorizeImageCaffeDist is api.ColorizeImageJaxCaffeDist
+
+
+def test_global_histogram_transfer_end_to_end():
+    """The DemoGlobalHistogramTransfer flow: extract a reference image's
+    histogram with global_stats, feed it to the global net."""
+    from ideepcolor_tpu.models import global_stats
+    ref_dir = "/root/reference/test_imgs/global_ref_bird"
+    files = sorted(os.listdir(ref_dir)) if os.path.isdir(ref_dir) else []
+    if not files:
+        pytest.skip("no reference images")
+    import cv2
+    im = cv2.cvtColor(cv2.imread(os.path.join(ref_dir, files[0]), 1),
+                      cv2.COLOR_BGR2RGB)
+    im = cv2.resize(im, (64, 64))
+    stats = global_stats.extract(im.astype(np.float32) / 255.0)
+    glob = np.asarray(stats["glob_ab_313"])
+    assert abs(glob.sum() - 1) < 1e-4
+
+    m = api.ColorizeImageJaxCaffeGlobDist(Xd=64)
+    m.prep_net(None)
+    m.load_image(IMG)
+    out = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)), glob)
+    assert out.shape == (64, 64, 3)
