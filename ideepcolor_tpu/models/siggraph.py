@@ -212,3 +212,39 @@ def apply(params: Params, input_A: jax.Array, input_B: jax.Array,
         # but reproduced for bit parity of the public return.
         return out_reg * 110.0, out_cl
     return decode_tail(conv8_3)
+
+
+def apply_train(params: Params, input_A: jax.Array, input_B: jax.Array,
+                mask_B: jax.Array, maskcent: jax.Array | float = 0.0,
+                precision_name: str = "default"):
+    """Training-mode forward: (out_reg ab in [-110,110], class logits).
+
+    Same trunk as :func:`apply` but returns RAW classification logits at the
+    conv8 resolution (H/4) and the singly-scaled regression output — the
+    inference-path softmax/upsample/double-110 quirks belong to serving,
+    not to the loss (losses soft-encode targets at H/4 directly).
+    """
+    precision = {"highest": jax.lax.Precision.HIGHEST,
+                 "default": jax.lax.Precision.DEFAULT}[precision_name]
+    blk = lambda n, x: _block(params, n, x, precision)  # noqa: E731
+
+    x = jnp.concatenate(
+        [input_A / 100.0, input_B / 110.0, mask_B - maskcent], axis=-1)
+    conv1_2 = blk("model1", x)
+    conv2_2 = blk("model2", conv1_2[:, ::2, ::2, :])
+    conv3_3 = blk("model3", conv2_2[:, ::2, ::2, :])
+    conv4_3 = blk("model4", conv3_3[:, ::2, ::2, :])
+    conv5_3 = blk("model5", conv4_3)
+    conv6_3 = blk("model6", conv5_3)
+    conv7_3 = blk("model7", conv6_3)
+    conv8_up = blk("model8up", conv7_3) + blk("model3short8", conv3_3)
+    conv8_3 = blk("model8", L.relu(conv8_up))
+
+    logits = blk("model_class", conv8_3)
+
+    conv9_up = blk("model9up", conv8_3) + blk("model2short9", conv2_2)
+    conv9_3 = blk("model9", L.relu(conv9_up))
+    conv10_up = blk("model10up", conv9_3) + blk("model1short10", conv1_2)
+    conv10_2 = blk("model10", L.relu(conv10_up))
+    out_reg = jnp.tanh(blk("model_out", conv10_2)) * 110.0
+    return out_reg, logits

@@ -1,0 +1,65 @@
+"""Simulated user-hint sampling for training (jittable, static shapes).
+
+The published training recipe reveals random ground-truth color patches to
+the network: the number of points is geometrically distributed, locations
+are drawn from a center-weighted 2-D Gaussian, patch sizes are uniform, and
+each revealed patch carries the mean gt ab of its area. The whole sampler is
+one traced program: a fixed MAX_POINTS slot table with a live-count, so no
+data-dependent shapes reach XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_POINTS = 32
+
+
+@partial(jax.jit, static_argnames=("p_keep",))
+def sample_hints(key: jax.Array, gt_ab: jax.Array,
+                 p_keep: float = 1.0 / 8.0):
+    """gt_ab: (N, H, W, 2) ground-truth ab -> (hint_ab, hint_mask) planes.
+
+    Each of MAX_POINTS slots is alive with probability continuation
+    (geometric number of revealed points, mean ~1/p_keep); each alive slot
+    reveals a (2p+1)^2 patch, p ~ U{0..4}, centered at a clipped Gaussian
+    location, carrying the gt ab at its center pixel.
+    """
+    n, h, w, _ = gt_ab.shape
+    k_alive, k_loc, k_size = jax.random.split(key, 3)
+
+    # geometric-ish: slot i alive iff all of the first i coin flips continue
+    cont = jax.random.uniform(k_alive, (n, MAX_POINTS)) > p_keep
+    alive = jnp.cumprod(cont, axis=1).astype(bool)
+    alive = alive.at[:, 0].set(True)        # always at least the first point?
+    # the recipe also trains with zero hints; drop all slots for ~1/8 of
+    # the batch by reusing the last coin
+    alive = alive & cont[:, -1:]
+
+    loc = jax.random.normal(k_loc, (n, MAX_POINTS, 2))
+    loc = jnp.stack([
+        jnp.clip(loc[..., 0] * (h / 4) + h / 2, 0, h - 1),
+        jnp.clip(loc[..., 1] * (w / 4) + w / 2, 0, w - 1)], -1
+    ).astype(jnp.int32)
+    half = jax.random.randint(k_size, (n, MAX_POINTS), 0, 5)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def one(gt, loc_i, half_i, alive_i):
+        inside = ((ys[None] >= (loc_i[:, 0] - half_i)[:, None, None])
+                  & (ys[None] <= (loc_i[:, 0] + half_i)[:, None, None])
+                  & (xs[None] >= (loc_i[:, 1] - half_i)[:, None, None])
+                  & (xs[None] <= (loc_i[:, 1] + half_i)[:, None, None])
+                  & alive_i[:, None, None])
+        mask = jnp.any(inside, axis=0)
+        last = (MAX_POINTS - 1) - jnp.argmax(inside[::-1], axis=0)
+        vals = gt[loc_i[:, 0], loc_i[:, 1], :]       # ab at patch centers
+        ab = jnp.where(mask[..., None], vals[last], 0.0)
+        return ab, mask[..., None].astype(jnp.float32)
+
+    ab, mask = jax.vmap(one)(gt_ab, loc, half, alive)
+    return ab, mask

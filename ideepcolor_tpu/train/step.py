@@ -1,0 +1,109 @@
+"""Data-parallel training step for the SIGGRAPH net.
+
+The reference has no in-repo training (SURVEY.md section 4/5); this module
+supplies the missing capability TPU-natively: one jitted train step whose
+batch axis is sharded over the mesh's 'data' axis and whose 529-way class
+head is sharded over 'model' (parallel/mesh.py). Gradient all-reduce is
+inserted by XLA from the sharding annotations — no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import siggraph
+from ..ops.quantize import make_pts_grid
+from ..parallel import mesh as pmesh
+from . import hints_sim, losses
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 3e-4
+    class_weight: float = 1.0
+    reg_weight: float = 10.0
+    maskcent: float = 0.0
+    hint_p_keep: float = 1.0 / 8.0
+    # rematerialize the trunk in the backward pass to trade FLOPs for HBM
+    remat: bool = True
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adam(cfg.lr, b1=0.9, b2=0.99)
+
+
+def init_state(key: jax.Array, cfg: TrainConfig):
+    params = siggraph.init_params(key)
+    opt_state = make_optimizer(cfg).init(params)
+    return {"params": params, "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def loss_fn(params, batch, key, cfg: TrainConfig, centers):
+    """batch: dict with 'l' (N,H,W,1) raw L in [0,100] and 'ab' (N,H,W,2)."""
+    gt_ab = batch["ab"]
+    hint_ab, hint_mask = hints_sim.sample_hints(key, gt_ab,
+                                                p_keep=cfg.hint_p_keep)
+    A = batch["l"] - 50.0
+    fwd = siggraph.apply_train
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd, static_argnums=())
+    out_reg, logits = fwd(params, A, hint_ab, hint_mask, cfg.maskcent)
+
+    l_reg = losses.smooth_l1(out_reg / 110.0, gt_ab / 110.0)
+    # classification target at the logits' (H/4) resolution: 4x4 mean ab
+    n, hq, wq, _ = logits.shape
+    ab_q = gt_ab.reshape(n, hq, 4, wq, 4, 2).mean(axis=(2, 4))
+    l_cls = losses.class_xent(logits, ab_q, centers, nn=10, sigma=5.0)
+    total = cfg.reg_weight * l_reg + cfg.class_weight * l_cls
+    return total, {"loss": total, "reg": l_reg, "cls": l_cls}
+
+
+def make_train_step(cfg: TrainConfig):
+    opt = make_optimizer(cfg)
+    centers = jnp.asarray(make_pts_grid(), jnp.float32)  # 529 full grid
+
+    def train_step(state, batch, key):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, key, cfg, centers)
+        updates, opt_state = opt.update(grads, state["opt_state"],
+                                        state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return ({"params": params, "opt_state": opt_state,
+                 "step": state["step"] + 1}, aux)
+
+    return train_step
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh):
+    """jit the train step with DP batch sharding + TP class-head sharding.
+
+    Returns (jitted_step, shard_state, shard_batch) helpers. XLA inserts the
+    gradient all-reduce over the 'data' axis and the class-head collectives
+    over 'model' from these annotations.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = make_train_step(cfg)
+    repl = NamedSharding(mesh, P())
+    batch_s = pmesh.batch_sharding(mesh)
+
+    def shard_state(state):
+        ps = pmesh.param_shardings(state["params"], mesh)
+        params = {k: jax.device_put(v, ps[k])
+                  for k, v in state["params"].items()}
+        return {"params": params,
+                "opt_state": jax.device_put(state["opt_state"], repl),
+                "step": jax.device_put(state["step"], repl)}
+
+    def shard_batch(batch):
+        return {k: jax.device_put(v, batch_s) for k, v in batch.items()}
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+    return jitted, shard_state, shard_batch

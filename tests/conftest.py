@@ -13,6 +13,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/ideepcolor_tpu_test_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var; the
+# config knob does work. Without this, 'CPU' tests silently run over the
+# TPU tunnel (~26 ms RPC per dispatch).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,50 @@
+"""App-level tests: CLI arg parsing/backend construction and the two
+notebook demo sessions (headless)."""
+import os
+
+import numpy as np
+import pytest
+
+from ideepcolor_tpu.apps import demos, ideepcolor as app
+
+IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
+REF_DIR = "/root/reference/test_imgs/global_ref_bird"
+
+
+def test_parse_args_defaults():
+    args = app.parse_args([])
+    assert args.backend == 'siggraph' and args.load_size == 256
+    args = app.parse_args(['--backend', 'caffe', '--no_dist',
+                           '--load_size', '64'])
+    assert args.backend == 'caffe' and args.no_dist and args.load_size == 64
+
+
+def test_build_models_siggraph():
+    args = app.parse_args(['--load_size', '64', '--no_dist'])
+    color_model, dist_model = app.build_models(args)
+    assert color_model.net_set and dist_model is None
+
+
+def test_build_models_caffe_with_dist():
+    args = app.parse_args(['--backend', 'caffe', '--load_size', '64'])
+    color_model, dist_model = app.build_models(args)
+    assert color_model.net_set and dist_model.net_set
+    assert float(dist_model.params["scale_S.scale"]) == pytest.approx(0.2)
+
+
+@pytest.mark.skipif(not os.path.exists(IMG), reason="no test image")
+def test_demo_local_hints_session():
+    res = demos.demo_local_hints(IMG, Xd=64)
+    for key in ("auto", "gray", "hint1", "hint1_input", "hint1_mask",
+                "hint2"):
+        assert res[key].dtype == np.uint8
+        assert res[key].shape == res["auto"].shape
+    assert not np.array_equal(res["auto"], res["hint1"])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="no reference images")
+def test_demo_global_histogram_session():
+    ref = os.path.join(REF_DIR, sorted(os.listdir(REF_DIR))[0])
+    res = demos.demo_global_histogram(IMG, ref, Xd=64)
+    assert abs(res["glob_dist"].sum() - 1) < 1e-4
+    assert not np.array_equal(res["auto"], res["with_ref"])

@@ -1,0 +1,83 @@
+"""Multi-device (virtual 8-CPU mesh) tests: DP/TP training step, hint
+simulation, loss sanity, and the graft entry points."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ideepcolor_tpu.parallel import mesh as pmesh
+from ideepcolor_tpu.train import hints_sim, losses, step as tstep
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_hint_sampler_shapes_and_consistency():
+    key = jax.random.key(0)
+    gt = jnp.asarray(np.random.default_rng(0)
+                     .uniform(-80, 80, (4, 32, 32, 2)).astype(np.float32))
+    ab, mask = hints_sim.sample_hints(key, gt)
+    ab, mask = np.asarray(ab), np.asarray(mask)
+    assert ab.shape == (4, 32, 32, 2) and mask.shape == (4, 32, 32, 1)
+    # hints only exist where mask is on, and values come from gt range
+    assert np.all(ab[mask[..., 0] == 0] == 0)
+    if mask.sum() > 0:
+        assert np.abs(ab).max() <= 80.0
+    # deterministic in the key
+    ab2, mask2 = hints_sim.sample_hints(key, gt)
+    assert np.array_equal(ab, np.asarray(ab2))
+
+
+def test_losses():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    assert float(losses.smooth_l1(a, a)) == 0.0
+    assert float(losses.smooth_l1(a, a + 10.0)) == pytest.approx(9.5)
+    from ideepcolor_tpu.ops.quantize import make_pts_grid
+    centers = jnp.asarray(make_pts_grid(), jnp.float32)
+    logits = jnp.asarray(rng.normal(size=(1, 4, 4, 529)).astype(np.float32))
+    ab = jnp.asarray(rng.uniform(-80, 80, (1, 4, 4, 2)).astype(np.float32))
+    xent = float(losses.class_xent(logits, ab, centers))
+    assert np.isfinite(xent) and xent > 0
+
+
+def test_train_step_descends_loss():
+    cfg = tstep.TrainConfig(lr=1e-3, remat=False)
+    state = tstep.init_state(jax.random.key(0), cfg)
+    train = jax.jit(tstep.make_train_step(cfg))
+    rng = np.random.default_rng(2)
+    batch = {
+        "l": jnp.asarray(rng.uniform(0, 100, (2, 32, 32, 1)), jnp.float32),
+        "ab": jnp.asarray(rng.uniform(-60, 60, (2, 32, 32, 2)), jnp.float32),
+    }
+    first = None
+    for i in range(5):
+        state, aux = train(state, batch, jax.random.key(42))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < first
+    assert int(state["step"]) == 5
+
+
+def test_mesh_and_shardings():
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    sh = pmesh.param_shardings(params, mesh)
+    assert str(sh["model5.0.weight"].spec) != str(sh["model1.0.weight"].spec)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 256, 256, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
