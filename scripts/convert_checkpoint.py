@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""One-shot weight converter: reference checkpoints -> framework params.
+
+Supports:
+  * torch ``.pth`` state dicts of SIGGRAPHGenerator (the published
+    pytorch.pth / caffemodel.pth, ref data/colorize_image.py:216-233)
+      -> siggraph params (.npz or orbax dir)
+  * Caffe ``.caffemodel`` NetParameter protobufs (model.caffemodel /
+    global_model.caffemodel, parsed natively — no caffe install)
+      -> caffe_net params for --variant main|dist|global
+
+Usage:
+  python scripts/convert_checkpoint.py IN OUT [--variant main] [--orbax]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--variant", default="main",
+                    choices=["main", "dist", "global"],
+                    help="caffe graph variant (for .caffemodel inputs)")
+    ap.add_argument("--orbax", action="store_true",
+                    help="write an orbax checkpoint dir instead of .npz")
+    args = ap.parse_args(argv)
+
+    from ideepcolor_tpu.utils.session import (save_params_npz,
+                                              save_params_orbax)
+
+    if args.src.endswith((".pth", ".pt")):
+        import torch
+        from ideepcolor_tpu.models import siggraph
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.numpy() for k, v in sd.items()
+              if "num_batches_tracked" not in k}
+        params = siggraph.from_torch_state_dict(sd)
+    elif args.src.endswith(".caffemodel"):
+        from ideepcolor_tpu.models.caffemodel_io import load_caffemodel
+        params = load_caffemodel(args.src, variant=args.variant)
+    else:
+        raise SystemExit(f"unsupported input: {args.src}")
+
+    if args.orbax:
+        save_params_orbax(args.dst, params)
+    else:
+        save_params_npz(args.dst, params)
+    print(f"wrote {len(params)} tensors -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
