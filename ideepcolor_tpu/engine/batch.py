@@ -1,0 +1,65 @@
+"""Batched engines: full-res fusion throughput and DP-sharded batch
+colorization.
+
+Covers the BASELINE.json scale configs the reference cannot express (it is
+strictly batch-1 single-device — SURVEY.md section 2.4):
+  * config 4 — "Full-res fusion: 2048px inputs, batched 32-image
+    ab-upsample + L-fusion throughput": one jitted program per batch,
+    upsample as MXU matmuls + fused lab2rgb (engine.pipeline.fullres_fuse
+    semantics, batched).
+  * batched hint-conditioned forwards for serving, sharded over the mesh's
+    'data' axis — XLA partitions the conv U-Net per image with zero
+    cross-device traffic (embarrassingly parallel over batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import siggraph
+from ..ops import colorspace as cs
+from ..ops.resize import zoom_to_matmul
+from ..parallel import mesh as pmesh
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def batch_fullres_fuse(l_full: jax.Array, ab_small: jax.Array,
+                       out_hw: tuple[int, int]) -> jax.Array:
+    """(N,H,W,1) full-res L + (N,h,w,2) predicted ab -> (N,H,W,3) uint8.
+
+    The batched form of the reference's get_img_fullres chain
+    (ref data/colorize_image.py:123-131), as one device program.
+    """
+    ab_up = zoom_to_matmul(ab_small, out_hw)
+    lab = jnp.concatenate([l_full, ab_up], axis=-1)
+    return cs.lab_to_rgb_u8(lab)
+
+
+@jax.jit
+def batch_forward_frames(params, l_mc: jax.Array, hint_ab: jax.Array,
+                         hint_mask: jax.Array, maskcent: jax.Array
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Batched hint-conditioned colorization: (N,Xd,Xd,*) inputs ->
+    (uint8 frames (N,Xd,Xd,3), predicted ab). One program; shard the batch
+    axis over the 'data' mesh axis for multi-chip throughput."""
+    ab = siggraph.apply(params, l_mc, hint_ab, hint_mask, maskcent,
+                        dist=False, precision_name="default")
+    l_raw = l_mc + 50.0
+    rgb = cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab], axis=-1))
+    return rgb, ab
+
+
+def make_sharded_batch_forward(mesh):
+    """DP-sharded batched forward over a mesh: inputs sharded on 'data',
+    params replicated. Returns (fn, place_batch) helpers."""
+    batch_s = pmesh.batch_sharding(mesh)
+
+    def place_batch(*arrays):
+        return tuple(jax.device_put(a, batch_s) for a in arrays)
+
+    fn = jax.jit(batch_forward_frames,
+                 out_shardings=(batch_s, batch_s))
+    return fn, place_batch

@@ -55,8 +55,13 @@ def fullres_fuse(img_l_fullres: jax.Array, ab_small: jax.Array,
     align-corners bilinear ab upsample (scipy zoom order=1 semantics) fused
     with the ORIGINAL full-res L and lab2rgb -> uint8.
     img_l_fullres: (H,W,1); ab_small: (h,w,2) channel-last.
+
+    The upsample runs as two MXU matmuls (ops.resize.zoom_to_matmul) —
+    dense interpolation matrices beat gathers on TPU and XLA fuses the
+    downstream lab2rgb into the second contraction's epilogue.
     """
-    ab_up = zoom_to(ab_small, out_hw, order=1, h_axis=0, w_axis=1)
+    from ..ops.resize import zoom_to_matmul
+    ab_up = zoom_to_matmul(ab_small, out_hw)
     return compose_rgb_u8(img_l_fullres, ab_up)
 
 

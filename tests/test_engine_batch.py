@@ -1,0 +1,87 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ideepcolor_tpu.engine import batch as eb, streaming
+from ideepcolor_tpu.models import siggraph
+from ideepcolor_tpu.parallel import mesh as pmesh
+
+RNG = np.random.default_rng(11)
+
+
+def test_batch_fullres_fuse_matches_single():
+    from ideepcolor_tpu.engine import pipeline as P
+    l = RNG.uniform(0, 100, (3, 64, 80, 1)).astype(np.float32)
+    ab = RNG.uniform(-60, 60, (3, 16, 16, 2)).astype(np.float32)
+    out = np.asarray(eb.batch_fullres_fuse(jnp.asarray(l), jnp.asarray(ab),
+                                           (64, 80)))
+    assert out.shape == (3, 64, 80, 3) and out.dtype == np.uint8
+    one = np.asarray(P.fullres_fuse(jnp.asarray(l[1]), jnp.asarray(ab[1]),
+                                    (64, 80)))
+    assert np.mean(out[1].astype(int) != one.astype(int)) < 1e-3
+
+
+def test_sharded_batch_forward_matches_unsharded():
+    params = siggraph.init_params(jax.random.key(0))
+    mesh = pmesh.make_mesh(8, model_parallel=1)
+    fn, place = eb.make_sharded_batch_forward(mesh)
+    n = 8
+    l_mc = RNG.uniform(-50, 50, (n, 32, 32, 1)).astype(np.float32)
+    hab = np.zeros((n, 32, 32, 2), np.float32)
+    hm = np.zeros((n, 32, 32, 1), np.float32)
+    with mesh:
+        li, hi, mi = place(l_mc, hab, hm)
+        rgb_s, ab_s = fn(params, li, hi, mi, jnp.float32(0.0))
+    rgb_u, ab_u = eb.batch_forward_frames(params, l_mc, hab, hm,
+                                          jnp.float32(0.0))
+    assert rgb_s.shape == (n, 32, 32, 3)
+    assert np.asarray(ab_s).shape == (n, 32, 32, 2)
+    # sharded and unsharded agree (bitwise may differ in reductions; use tol)
+    assert np.max(np.abs(np.asarray(ab_s) - np.asarray(ab_u))) < 1e-3
+
+
+def test_streaming_session_pipelines_and_matches_direct():
+    params = siggraph.init_params(jax.random.key(1))
+    sess = streaming.StreamingSession(params, size=32, depth=2)
+    hint_ab = np.zeros((32, 32, 2), np.float32)
+    hint_mask = np.zeros((32, 32, 1), np.float32)
+    hint_ab[10:12, 10:12] = [30.0, -40.0]
+    hint_mask[10:12, 10:12] = 1.0
+    sess.set_hints(hint_ab, hint_mask)
+
+    frames = [RNG.uniform(0, 100, (32, 32)).astype(np.float32)
+              for _ in range(5)]
+    outs = []
+    for f in frames:
+        r = sess.submit(f)
+        if r is not None:
+            outs.append(r)
+    outs.extend(sess.drain())
+    assert len(outs) == 5
+    assert sess.frames_in == sess.frames_out == 5
+    rgb0, dist0 = outs[0]
+    assert rgb0.shape == (32, 32, 3) and rgb0.dtype == np.uint8
+    assert dist0.shape == (32, 32, 529)
+
+    # direct (unpipelined) computation of frame 0 matches
+    l = jnp.asarray(frames[0], jnp.float32)[None, ..., None]
+    rgb_d, _ = streaming._stream_step(
+        params, l, jnp.asarray(hint_ab)[None], jnp.asarray(hint_mask)[None],
+        jnp.float32(0.0))
+    assert np.array_equal(rgb0, np.asarray(rgb_d[0]))
+
+
+def test_streaming_hint_swap_changes_output():
+    params = siggraph.init_params(jax.random.key(2))
+    sess = streaming.StreamingSession(params, size=32, depth=1,
+                                      with_dist=False)
+    frame = RNG.uniform(0, 100, (32, 32)).astype(np.float32)
+    sess.submit(frame)
+    out1, _ = sess.submit(frame)
+    hint_ab = np.full((32, 32, 2), 50.0, np.float32)
+    hint_mask = np.ones((32, 32, 1), np.float32)
+    sess.set_hints(hint_ab, hint_mask)
+    sess.submit(frame)
+    out2, _ = sess.submit(frame)
+    assert not np.array_equal(out1, out2)
