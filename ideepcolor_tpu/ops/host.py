@@ -1,0 +1,159 @@
+"""ctypes bindings to the native host-ops library (native/hostops.cpp).
+
+The native library is the framework's CPU runtime — the role Caffe's C++
+engine and the cv2/skimage C internals play for the reference (SURVEY.md
+section 2.4). It is built on demand with g++ (-O3 -march=native -fopenmp)
+and loaded via ctypes; every entry point has a numpy fallback so the
+framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(os.path.dirname(_HERE))
+_SRC = os.path.join(_REPO, "native", "hostops.cpp")
+_LIB = os.path.join(_REPO, "native", "libhostops.so")
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           _SRC, "-o", _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if not (os.path.exists(_SRC) and _build()):
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _build_failed = True
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rgb2lab_f32.argtypes = [f32p, f32p, ctypes.c_int64]
+    lib.lab2rgb_f32.argtypes = [f32p, f32p, ctypes.c_int64]
+    lib.lab2rgb_u8.argtypes = [f32p, u8p, ctypes.c_int64]
+    lib.rasterize_hints.argtypes = [i32p, f32p, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    f32p, f32p]
+    lib.zoom_bilinear_f32.argtypes = [f32p] + [ctypes.c_int32] * 3 + \
+        [f32p] + [ctypes.c_int32] * 2
+    lib.num_threads.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _f32(a):
+    return np.ascontiguousarray(a, np.float32)
+
+
+def rgb2lab(rgb: np.ndarray) -> np.ndarray:
+    """(..., 3) sRGB [0,1] -> Lab, native path with numpy fallback."""
+    lib = get_lib()
+    rgb = _f32(rgb)
+    if lib is None:
+        import sys
+        sys.path.insert(0, os.path.join(_REPO, "tests"))
+        import _np_colorspace as ref
+        return ref.rgb2lab(rgb.astype(np.float64)).astype(np.float32)
+    out = np.empty_like(rgb)
+    lib.rgb2lab_f32(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    rgb.size // 3)
+    return out
+
+
+def lab2rgb(lab: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    lab = _f32(lab)
+    if lib is None:
+        import sys
+        sys.path.insert(0, os.path.join(_REPO, "tests"))
+        import _np_colorspace as ref
+        return ref.lab2rgb(lab.astype(np.float64)).astype(np.float32)
+    out = np.empty_like(lab)
+    lib.lab2rgb_f32(lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    lab.size // 3)
+    return out
+
+
+def lab2rgb_u8(lab: np.ndarray) -> np.ndarray:
+    """Fused Lab -> truncated uint8 RGB (reference output semantics)."""
+    lib = get_lib()
+    lab = _f32(lab)
+    if lib is None:
+        return (np.clip(lab2rgb(lab), 0, 1) * 255).astype(np.uint8)
+    out = np.empty(lab.shape, np.uint8)
+    lib.lab2rgb_u8(lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   lab.size // 3)
+    return out
+
+
+def rasterize_hints(boxes: np.ndarray, values: np.ndarray, count: int,
+                    size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side hint rasterization (same contract as ops.hints)."""
+    lib = get_lib()
+    boxes = np.ascontiguousarray(boxes[:count], np.int32)
+    values = _f32(values[:count])
+    if lib is None:
+        ab = np.zeros((size, size, 2), np.float32)
+        mask = np.zeros((size, size), np.float32)
+        for (y1, x1, y2, x2), v in zip(boxes, values):
+            ab[max(y1, 0):y2 + 1, max(x1, 0):x2 + 1] = v
+            mask[max(y1, 0):y2 + 1, max(x1, 0):x2 + 1] = 1.0
+        return ab, mask[..., None]
+    ab = np.empty((size, size, 2), np.float32)
+    mask = np.empty((size, size), np.float32)
+    lib.rasterize_hints(
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        count, size, size,
+        ab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return ab, mask[..., None]
+
+
+def zoom_bilinear(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(h,w,c) -> (H,W,c) align-corners bilinear (scipy zoom order=1)."""
+    lib = get_lib()
+    x = _f32(x)
+    h, w, c = x.shape
+    if lib is None:
+        from scipy.ndimage import zoom
+        return zoom(x, (out_hw[0] / h, out_hw[1] / w, 1), order=1
+                    ).astype(np.float32)
+    out = np.empty((out_hw[0], out_hw[1], c), np.float32)
+    lib.zoom_bilinear_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_hw[0], out_hw[1])
+    return out

@@ -1,0 +1,177 @@
+// Native host-side ops for ideepcolor-tpu.
+//
+// The reference delegates its CPU path to Caffe's C++ engine and to
+// cv2/skimage/scipy C internals (ref data/colorize_image.py:396-399
+// caffe.set_mode_cpu, :54-58 cv2.resize, :27-36 skimage lab<->rgb,
+// ui/ui_control.py:61-63 cv2.rectangle). This library supplies the
+// equivalent native host runtime for our framework: colorspace transforms,
+// hint rasterization and bilinear resampling as OpenMP-parallel kernels,
+// used by the Python layer (ops/host.py via ctypes) for window-size GUI
+// work and as the accelerator-free fallback path.
+//
+// Numerics match ops/colorspace.py exactly: sRGB (IEC 61966-2-1), D65
+// 2-degree observer, Lab f/finv with kappa = 24389/27.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double kXYZ2RGB[3][3] = {
+    {3.240454162114109, -1.5371385127977184, -0.49853140955601616},
+    {-0.9692660305051904, 1.876010845446696, 0.041556017530349584},
+    {0.05564343095911613, -0.2040259135167545, 1.0572251882231787}};
+constexpr double kRGB2XYZ[3][3] = {
+    {0.412456439089692, 0.357576077643909, 0.180437483266399},
+    {0.212672851405623, 0.715152155287818, 0.072174993306560},
+    {0.019333895582329, 0.119192025881303, 0.950304078536368}};
+constexpr double kWhite[3] = {0.95047, 1.0, 1.08883};
+constexpr double kKappa = 24389.0 / 27.0;
+constexpr double kEps = 216.0 / 24389.0;
+
+inline double srgb_to_linear(double v) {
+  return v <= 0.04045 ? v / 12.92 : std::pow((v + 0.055) / 1.055, 2.4);
+}
+
+inline double linear_to_srgb(double v) {
+  return v <= 0.0031308 ? v * 12.92
+                        : 1.055 * std::pow(std::max(v, 0.0), 1.0 / 2.4) -
+                              0.055;
+}
+
+inline double lab_f(double t) {
+  return t > kEps ? std::cbrt(t) : (kKappa * t + 16.0) / 116.0;
+}
+
+inline double lab_finv(double ft) {
+  return ft > 6.0 / 29.0 ? ft * ft * ft : (116.0 * ft - 16.0) / kKappa;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb (N,3) float32 in [0,1] -> lab (N,3) float32.
+void rgb2lab_f32(const float* rgb, float* lab, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double lin[3], xyz[3];
+    for (int c = 0; c < 3; ++c) lin[c] = srgb_to_linear(rgb[3 * i + c]);
+    for (int c = 0; c < 3; ++c)
+      xyz[c] = kRGB2XYZ[c][0] * lin[0] + kRGB2XYZ[c][1] * lin[1] +
+               kRGB2XYZ[c][2] * lin[2];
+    const double fx = lab_f(xyz[0] / kWhite[0]);
+    const double fy = lab_f(xyz[1] / kWhite[1]);
+    const double fz = lab_f(xyz[2] / kWhite[2]);
+    lab[3 * i + 0] = static_cast<float>(116.0 * fy - 16.0);
+    lab[3 * i + 1] = static_cast<float>(500.0 * (fx - fy));
+    lab[3 * i + 2] = static_cast<float>(200.0 * (fy - fz));
+  }
+}
+
+// lab (N,3) float32 -> rgb (N,3) float32 clipped to [0,1].
+void lab2rgb_f32(const float* lab, float* rgb, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double fy = (lab[3 * i + 0] + 16.0) / 116.0;
+    const double fx = fy + lab[3 * i + 1] / 500.0;
+    const double fz = fy - lab[3 * i + 2] / 200.0;
+    const double xyz[3] = {lab_finv(fx) * kWhite[0], lab_finv(fy) * kWhite[1],
+                           lab_finv(fz) * kWhite[2]};
+    for (int c = 0; c < 3; ++c) {
+      double v = kXYZ2RGB[c][0] * xyz[0] + kXYZ2RGB[c][1] * xyz[1] +
+                 kXYZ2RGB[c][2] * xyz[2];
+      v = linear_to_srgb(v);
+      rgb[3 * i + c] = static_cast<float>(std::min(std::max(v, 0.0), 1.0));
+    }
+  }
+}
+
+// Fused lab (N,3) -> uint8 rgb (N,3), reference truncation semantics
+// ((clip(rgb,0,1)*255).astype(uint8), ref data/colorize_image.py:27).
+void lab2rgb_u8(const float* lab, uint8_t* out, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double fy = (lab[3 * i + 0] + 16.0) / 116.0;
+    const double fx = fy + lab[3 * i + 1] / 500.0;
+    const double fz = fy - lab[3 * i + 2] / 200.0;
+    const double xyz[3] = {lab_finv(fx) * kWhite[0], lab_finv(fy) * kWhite[1],
+                           lab_finv(fz) * kWhite[2]};
+    for (int c = 0; c < 3; ++c) {
+      double v = kXYZ2RGB[c][0] * xyz[0] + kXYZ2RGB[c][1] * xyz[1] +
+                 kXYZ2RGB[c][2] * xyz[2];
+      v = std::min(std::max(linear_to_srgb(v), 0.0), 1.0);
+      out[3 * i + c] = static_cast<uint8_t>(v * 255.0);
+    }
+  }
+}
+
+// Rasterize hint boxes into dense ab (H,W,2) + mask (H,W) planes.
+// boxes: (m,4) int32 [y1,x1,y2,x2] inclusive; values: (m,2) float32.
+// Later boxes overwrite earlier ones (cv2.rectangle loop semantics,
+// ref ui/ui_control.py:177-187).
+void rasterize_hints(const int32_t* boxes, const float* values, int32_t m,
+                     int32_t h, int32_t w, float* ab, float* mask) {
+  std::memset(ab, 0, sizeof(float) * 2 * h * w);
+  std::memset(mask, 0, sizeof(float) * h * w);
+  for (int32_t i = 0; i < m; ++i) {
+    const int32_t y1 = std::max(boxes[4 * i + 0], 0);
+    const int32_t x1 = std::max(boxes[4 * i + 1], 0);
+    const int32_t y2 = std::min(boxes[4 * i + 2], h - 1);
+    const int32_t x2 = std::min(boxes[4 * i + 3], w - 1);
+    const float a = values[2 * i], b = values[2 * i + 1];
+    for (int32_t y = y1; y <= y2; ++y) {
+      for (int32_t x = x1; x <= x2; ++x) {
+        ab[2 * (y * w + x) + 0] = a;
+        ab[2 * (y * w + x) + 1] = b;
+        mask[y * w + x] = 1.0f;
+      }
+    }
+  }
+}
+
+// Align-corners bilinear resize, (h,w,c) -> (H,W,c), scipy zoom order=1
+// semantics (ref data/colorize_image.py:123-131 full-res path).
+void zoom_bilinear_f32(const float* in, int32_t h, int32_t w, int32_t c,
+                       float* out, int32_t H, int32_t W) {
+  const double sy = H > 1 && h > 1 ? double(h - 1) / double(H - 1) : 0.0;
+  const double sx = W > 1 && w > 1 ? double(w - 1) / double(W - 1) : 0.0;
+#pragma omp parallel for schedule(static)
+  for (int32_t Y = 0; Y < H; ++Y) {
+    const double fy = Y * sy;
+    const int32_t y0 = std::min(int32_t(fy), h - 1);
+    const int32_t y1 = std::min(y0 + 1, h - 1);
+    const double wy = fy - y0;
+    for (int32_t X = 0; X < W; ++X) {
+      const double fx = X * sx;
+      const int32_t x0 = std::min(int32_t(fx), w - 1);
+      const int32_t x1 = std::min(x0 + 1, w - 1);
+      const double wx = fx - x0;
+      for (int32_t ch = 0; ch < c; ++ch) {
+        const double v00 = in[(y0 * w + x0) * c + ch];
+        const double v01 = in[(y0 * w + x1) * c + ch];
+        const double v10 = in[(y1 * w + x0) * c + ch];
+        const double v11 = in[(y1 * w + x1) * c + ch];
+        out[(Y * W + X) * c + ch] = static_cast<float>(
+            (1 - wy) * ((1 - wx) * v00 + wx * v01) +
+            wy * ((1 - wx) * v10 + wx * v11));
+      }
+    }
+  }
+}
+
+int num_threads() {
+#if defined(_OPENMP)
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"
