@@ -1,13 +1,16 @@
-"""Benchmark: p50 click-to-frame latency + throughput at 256x256 (TPU).
+"""Benchmark: the five BASELINE.json configs on the real TPU chip.
 
-Measures the BASELINE.json headline config — the local-hints interactive
-forward (hint tensors -> U-Net -> composed uint8 frame) — through the same
-public API a GUI click uses, on the real TPU chip. The baseline is the
-reference's own execution path: the SIGGRAPH torch model running on CPU
-(the repo's non-CUDA mode), loaded from /root/reference when present.
+Headline metric (the JSON line's value): p50 click-to-frame latency at
+256x256 on the local-hints path — the reference's interactive UX number —
+measured through the same public API a GUI click uses, frame readback
+included. vs_baseline compares against the reference's own execution path
+(SIGGRAPH torch model, CPU) measured on this host.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <p50 ms>, "unit": "ms", "vs_baseline": <x>, ...}
+Extra fields cover the remaining configs: zero-hint auto colorization with
+full-res reconstruction, global-histogram conditioning, batched 2048px
+full-res fusion throughput, and the pipelined streaming session.
+
+Prints ONE JSON line.
 """
 
 import json
@@ -23,13 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
-# Reference torch-CPU forward measured on this host (median), used when
-# /root/reference is not importable at bench time.
-FALLBACK_BASELINE_MS = 1400.0
+FALLBACK_BASELINE_MS = 1312.8   # measured on this host (bench run r1)
+
+
+def _sync(x):
+    """Force completion incl. readback of a small dependent slice (the axon
+    tunnel's block_until_ready does not reliably synchronize)."""
+    return np.asarray(x if getattr(x, "ndim", 0) == 0 else x.ravel()[:8])
 
 
 def measure_baseline_torch_cpu() -> float:
-    """Median latency (ms) of the reference's own torch-CPU forward."""
     model_py = os.path.join(REFERENCE_DIR, "models/pytorch/model.py")
     if not os.path.exists(model_py):
         return FALLBACK_BASELINE_MS
@@ -46,7 +52,7 @@ def measure_baseline_torch_cpu() -> float:
         B = np.zeros((2, 256, 256), np.float32)
         M = np.zeros((1, 256, 256), np.float32)
         with torch.no_grad():
-            net.forward(A, B, M, 0)          # warm-up
+            net.forward(A, B, M, 0)
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
@@ -59,16 +65,14 @@ def measure_baseline_torch_cpu() -> float:
         return FALLBACK_BASELINE_MS
 
 
-def main():
-    import jax
+def bench_click_latency(extras):
+    """Config 2: scripted local-hints session, per-click latency."""
     from ideepcolor_tpu import api
     from ideepcolor_tpu.ops.hints import put_point
 
-    dev = jax.devices()[0]
-    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
-
-    cm = api.ColorizeImageJax(Xd=256)        # flagship SIGGRAPH backend
+    cm = api.ColorizeImageJax(Xd=256)
     cm.prep_net(path='')
+    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
     if os.path.exists(img):
         cm.load_image(img)
     else:
@@ -77,14 +81,25 @@ def main():
 
     input_ab = np.zeros((2, 256, 256))
     mask = np.zeros((1, 256, 256))
+
+    # config 1: zero-hint auto colorization + full-res reconstruction
+    t0 = time.perf_counter()
+    cm.net_forward(input_ab, mask)
+    extras["compile_first_forward_s"] = round(time.perf_counter() - t0, 1)
+    cm.get_img_fullres()
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        cm.net_forward(input_ab, mask)
+        cm.get_img_fullres()
+        ts.append(time.perf_counter() - t0)
+    extras["auto_plus_fullres_ms"] = round(float(np.median(ts)) * 1000, 2)
+
+    # config 2: 5-click scripted session (hint rebuild + forward per click)
     put_point(input_ab, mask, [135, 160], 3, [23, -69])
     put_point(input_ab, mask, [100, 160], 3, [0, 0])
-
-    cm.net_forward(input_ab, mask)           # compile + warm
     for _ in range(3):
         cm.net_forward(input_ab, mask)
-
-    # --- p50 click-to-frame: full sync API path incl. frame readback ---
     lat = []
     for i in range(40):
         put_point(input_ab, mask, [40 + (i % 8) * 20, 60], 2,
@@ -93,36 +108,121 @@ def main():
         cm.net_forward(input_ab, mask)
         lat.append(time.perf_counter() - t0)
     lat = np.sort(lat) * 1000.0
-    p50, p95 = float(lat[len(lat) // 2]), float(lat[int(len(lat) * 0.95)])
+    extras["p95_ms"] = round(float(lat[int(len(lat) * 0.95)]), 2)
+    return float(lat[len(lat) // 2]), cm
 
-    # --- pipelined throughput: async dispatch, device-bound imgs/sec ---
+
+def bench_throughput(cm, extras):
+    """Pipelined single-image throughput (device-bound)."""
     import jax.numpy as jnp
+    from ideepcolor_tpu.models import siggraph
     A = cm._dev_l_mc[None]
     B = jnp.asarray(cm.input_ab_mc.transpose(1, 2, 0))[None]
     M = jnp.asarray(cm.input_mask_mult.transpose(1, 2, 0))[None]
-    from ideepcolor_tpu.models import siggraph
-    np.asarray(siggraph.apply(cm.params, A, B, M, 0.0,
-                              precision_name="default"))
-    NPIPE = 100
+    run = lambda: siggraph.apply(cm.params, A, B, M, 0.0,  # noqa: E731
+                                 precision_name="default")
+    _sync(run())
+    N = 100
     t0 = time.perf_counter()
-    for _ in range(NPIPE - 1):
-        siggraph.apply(cm.params, A, B, M, 0.0, precision_name="default")
-    np.asarray(siggraph.apply(cm.params, A, B, M, 0.0,
-                              precision_name="default"))
-    imgs_per_sec = NPIPE / (time.perf_counter() - t0)
+    for _ in range(N - 1):
+        run()
+    _sync(run())
+    extras["pipelined_imgs_per_sec"] = round(
+        N / (time.perf_counter() - t0), 1)
+
+
+def bench_global_hints(extras):
+    """Config 3: global histogram transfer."""
+    from ideepcolor_tpu import api
+    from ideepcolor_tpu.models import global_stats
+    rng = np.random.default_rng(1)
+    m = api.ColorizeImageJaxCaffeGlobDist(Xd=256)
+    m.prep_net(None)
+    m.set_image((rng.random((256, 256, 3)) * 255).astype(np.uint8))
+    glob = np.asarray(global_stats.extract(
+        rng.random((256, 256, 3)).astype(np.float32))["glob_ab_313"])
+    ab = np.zeros((2, 256, 256))
+    mask = np.zeros((1, 256, 256))
+    m.net_forward(ab, mask, glob)
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        m.net_forward(ab, mask, glob)
+        ts.append(time.perf_counter() - t0)
+    extras["global_hints_ms"] = round(float(np.median(ts)) * 1000, 2)
+
+
+def bench_batch_fullres(extras):
+    """Config 4: batched 32-image 2048px ab-upsample + L-fusion."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.engine.batch import batch_fullres_fuse
+    rng = np.random.default_rng(2)
+    N, HW = 32, 2048
+    l_full = jnp.asarray(rng.uniform(0, 100, (N, HW, HW, 1))
+                         .astype(np.float32))
+    ab = jnp.asarray(rng.uniform(-80, 80, (N, 256, 256, 2))
+                     .astype(np.float32))
+    out = batch_fullres_fuse(l_full, ab, (HW, HW))
+    _sync(out)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps - 1):
+        batch_fullres_fuse(l_full, ab, (HW, HW))
+    _sync(batch_fullres_fuse(l_full, ab, (HW, HW)))
+    dt = (time.perf_counter() - t0) / reps
+    extras["batch32_fullres2048_imgs_per_sec"] = round(N / dt, 1)
+
+
+def bench_streaming(extras):
+    """Config 5: 30fps stream with persistent hints + dist decode."""
+    import jax
+    from ideepcolor_tpu.engine.streaming import StreamingSession
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    sess = StreamingSession(params, size=256, depth=3, with_dist=False)
+    hint_ab = np.zeros((256, 256, 2), np.float32)
+    hint_mask = np.zeros((256, 256, 1), np.float32)
+    hint_ab[100:104, 100:104] = [30, -30]
+    hint_mask[100:104, 100:104] = 1
+    sess.set_hints(hint_ab, hint_mask)
+    rng = np.random.default_rng(3)
+    frames = [rng.uniform(0, 100, (256, 256)).astype(np.float32)
+              for _ in range(8)]
+    for f in frames:                      # warm/compile
+        sess.submit(f)
+    list(sess.drain())
+    N = 60
+    t0 = time.perf_counter()
+    got = 0
+    for i in range(N):
+        if sess.submit(frames[i % len(frames)]) is not None:
+            got += 1
+    got += sum(1 for _ in sess.drain())
+    extras["streaming_fps"] = round(got / (time.perf_counter() - t0), 1)
+
+
+def main():
+    import jax
+    extras = {}
+    dev = jax.devices()[0]
+    p50, cm = bench_click_latency(extras)
+    for fn in (bench_throughput, bench_global_hints, bench_batch_fullres,
+               bench_streaming):
+        try:
+            fn(cm, extras) if fn is bench_throughput else fn(extras)
+        except Exception as e:  # keep the headline even if a config fails
+            extras[f"{fn.__name__}_error"] = str(e)[:120]
 
     baseline_ms = measure_baseline_torch_cpu()
-
     print(json.dumps({
         "metric": "p50 click-to-frame latency @256 local-hints (SIGGRAPH "
                   "fwd + frame compose + readback)",
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2),
-        "p95_ms": round(p95, 2),
-        "pipelined_imgs_per_sec": round(imgs_per_sec, 1),
         "baseline_torch_cpu_ms": round(baseline_ms, 1),
         "device": str(dev),
+        **extras,
     }))
 
 

@@ -1,0 +1,76 @@
+"""Framework configuration.
+
+The reference's only configuration is 11 argparse flags + the prototxt
+files themselves (ref ideepcolor.py:13-46). Here one dataclass captures
+every runtime knob — net variant, resolution, temperatures, suggestion
+parameters, serving precision — and the CLI (apps/ideepcolor.py) simply
+fills it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class ColorizeConfig:
+    # model selection
+    backend: str = "siggraph"          # 'siggraph' | 'caffe'
+    variant: str = "main"              # caffe graph: 'main'|'dist'|'global'
+    dist: bool = False                 # distribution head (siggraph)
+    maskcent: bool = False             # subtract 0.5 from the hint mask
+    checkpoint: str = ""               # .pth / .npz / orbax dir
+
+    # resolution (ref Xd=256, full-res cap 10000,
+    # data/colorize_image.py:40)
+    Xd: int = 256
+    Xfullres_max: int = 10000
+
+    # distribution temperatures (ref deploy_nopred.prototxt:806-850 and
+    # prep_net S=.2, data/colorize_image.py:482-485)
+    temp_suggest: float = 0.2          # scale_S — suggestion softmax
+    temp_point: float = 2.6            # scale_T — annealed-mean estimate
+
+    # suggestion sampling (ref data/colorize_image.py:511-543;
+    # the GUI asks K=9, ui/gui_draw.py:184)
+    suggest_K: int = 5
+    suggest_N: int = 25000
+
+    # execution
+    precision: str = "highest"         # 'highest' (parity) | 'default'
+    serve_dtype: str = "float32"       # 'float32' | 'bfloat16'
+    pipeline_depth: int = 2            # streaming dispatch depth
+
+    def validate(self) -> "ColorizeConfig":
+        assert self.backend in ("siggraph", "caffe"), self.backend
+        assert self.variant in ("main", "dist", "global"), self.variant
+        assert self.precision in ("highest", "default")
+        assert self.serve_dtype in ("float32", "bfloat16")
+        assert self.Xd % 8 == 0, "Xd must be divisible by 8 (3 subsamples)"
+        return self
+
+
+def make_backend(cfg: ColorizeConfig):
+    """Instantiate the API backend described by a config."""
+    from . import api
+    cfg.validate()
+    if cfg.backend == "siggraph":
+        cls = api.ColorizeImageJaxDist if cfg.dist else api.ColorizeImageJax
+        m = cls(Xd=cfg.Xd, maskcent=cfg.maskcent)
+        m.prep_net(path=cfg.checkpoint)
+    else:
+        cls = {"main": api.ColorizeImageJaxCaffe,
+               "dist": api.ColorizeImageJaxCaffeDist,
+               "global": api.ColorizeImageJaxCaffeGlobDist}[cfg.variant]
+        m = cls(Xd=cfg.Xd)
+        if cfg.variant == "dist":
+            m.prep_net(None, caffemodel_path=cfg.checkpoint,
+                       S=cfg.temp_suggest)
+        else:
+            m.prep_net(None, caffemodel_path=cfg.checkpoint)
+    m.Xfullres_max = cfg.Xfullres_max
+    if cfg.serve_dtype == "bfloat16":
+        import jax.numpy as jnp
+        m.params = {k: v.astype(jnp.bfloat16)
+                    for k, v in m.params.items()}
+    return m

@@ -31,11 +31,19 @@ def batch_fullres_fuse(l_full: jax.Array, ab_small: jax.Array,
     """(N,H,W,1) full-res L + (N,h,w,2) predicted ab -> (N,H,W,3) uint8.
 
     The batched form of the reference's get_img_fullres chain
-    (ref data/colorize_image.py:123-131), as one device program.
+    (ref data/colorize_image.py:123-131), as one device program. The batch
+    loops via lax.map: each image is an independent matmul-resize + fused
+    lab2rgb, and mapping keeps the live intermediate one image wide
+    (a 32 x 2048^2 batched einsum would hold >1 GB of f32 intermediates
+    and stresses the compiler for zero throughput gain — the per-image
+    work already saturates the chip).
     """
-    ab_up = zoom_to_matmul(ab_small, out_hw)
-    lab = jnp.concatenate([l_full, ab_up], axis=-1)
-    return cs.lab_to_rgb_u8(lab)
+    def one(args):
+        l, ab = args
+        ab_up = zoom_to_matmul(ab, out_hw)
+        return cs.lab_to_rgb_u8(jnp.concatenate([l, ab_up], axis=-1))
+
+    return jax.lax.map(one, (l_full, ab_small))
 
 
 @jax.jit

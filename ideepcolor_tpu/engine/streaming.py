@@ -68,6 +68,13 @@ class StreamingSession:
         l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
         out = _stream_step(self.params, l, self._hint_ab, self._hint_mask,
                            self.maskcent)
+        # start the device->host copy immediately so materialization later
+        # only waits on an already-running transfer (hides the readback
+        # round trip behind subsequent frames' compute)
+        try:
+            out[0].copy_to_host_async()
+        except AttributeError:      # backend without async copies
+            pass
         self._inflight.append(out)
         self.frames_in += 1
         if len(self._inflight) > self.depth:

@@ -26,6 +26,11 @@ def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     k = w.shape[0]
     if padding is None:
         padding = dilation * (k - 1) // 2
+    # the parameter dtype selects the compute dtype (bfloat16 serving mode
+    # casts activations down here; accumulation stays f32 via
+    # preferred_element_type)
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
@@ -55,6 +60,8 @@ def conv_transpose2d_k4s2p1(x: jax.Array, w: jax.Array,
     spatially flipped relative to the transposed-conv kernel; converters
     handle this (see :func:`torch_convT_to_hwio`).
     """
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
