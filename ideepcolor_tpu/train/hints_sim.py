@@ -63,3 +63,27 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
 
     ab, mask = jax.vmap(one)(gt_ab, loc, half, alive)
     return ab, mask
+
+
+@partial(jax.jit, static_argnames=("keep_ratio",))
+def sample_global_hints(key: jax.Array, gt_ab: jax.Array,
+                        keep_ratio: float = 0.5) -> jax.Array:
+    """Training-time global-histogram conditioning with random dropout.
+
+    The TPU-native equivalent of the reference's training-graph chain
+    ab 4x4 avgpool -> NNEncLayer -> global avgpool ->
+    ColorGlobalDropoutLayer (ref caffe_files/caffe_traininglayers.py:122-158
+    and global_stats.prototxt:101-244): per-example, with probability
+    keep_ratio the ground-truth global histogram is revealed (flag channel
+    = 1), otherwise zeroed.
+
+    gt_ab: (N, H, W, 2) -> (N, 314) [313-bin histogram, keep flag].
+    """
+    from ..ops.quantize import soft_encode
+
+    n, h, w, _ = gt_ab.shape
+    ab_rs = gt_ab.reshape(n, h // 4, 4, w // 4, 4, 2).mean(axis=(2, 4))
+    enc = soft_encode(ab_rs, nn=1)                  # (n, h/4, w/4, 313)
+    hist = jnp.mean(enc, axis=(1, 2))               # (n, 313)
+    keep = jax.random.bernoulli(key, keep_ratio, (n, 1)).astype(jnp.float32)
+    return jnp.concatenate([hist * keep, keep], axis=1)

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Fetch the published reference checkpoints and convert them into this
+# framework's parameter format (the role of the reference's
+# models/fetch_models.sh, ref models/fetch_models.sh:1-5, followed by
+# scripts/convert_checkpoint.py).
+#
+# Requires network access to the original hosting server.
+set -euo pipefail
+
+BASE=https://people.eecs.berkeley.edu/~junyanz/projects/ideepcolor/models
+OUT=${1:-./weights}
+mkdir -p "$OUT/raw"
+
+fetch() { [ -f "$OUT/raw/$2" ] || curl -fL "$BASE/$1" -o "$OUT/raw/$2"; }
+
+fetch reference_model/model.caffemodel         model.caffemodel
+fetch reference_model/model_dist.caffemodel    model_dist.caffemodel || true
+fetch global_model/global_model.caffemodel     global_model.caffemodel
+fetch pytorch/pytorch.pth                      pytorch.pth
+fetch pytorch/caffemodel.pth                   caffemodel.pth
+
+PY=${PYTHON:-python}
+$PY scripts/convert_checkpoint.py "$OUT/raw/model.caffemodel" \
+    "$OUT/caffe_main.npz" --variant main
+$PY scripts/convert_checkpoint.py "$OUT/raw/global_model.caffemodel" \
+    "$OUT/caffe_global.npz" --variant global
+$PY scripts/convert_checkpoint.py "$OUT/raw/pytorch.pth" \
+    "$OUT/siggraph.npz"
+$PY scripts/convert_checkpoint.py "$OUT/raw/caffemodel.pth" \
+    "$OUT/siggraph_caffe_retrain.npz"
+
+echo "converted weights in $OUT/"

@@ -81,3 +81,17 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 256, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_global_hint_dropout():
+    from ideepcolor_tpu.train.hints_sim import sample_global_hints
+    rng = np.random.default_rng(4)
+    gt = jnp.asarray(rng.uniform(-80, 80, (16, 32, 32, 2)).astype(np.float32))
+    out = np.asarray(sample_global_hints(jax.random.key(0), gt,
+                                         keep_ratio=0.5))
+    assert out.shape == (16, 314)
+    kept = out[:, -1] == 1
+    # kept rows carry a normalized histogram; dropped rows are all zero
+    assert np.allclose(out[kept, :-1].sum(1), 1.0, atol=1e-4)
+    assert np.all(out[~kept] == 0)
+    assert 0 < kept.sum() < 16
