@@ -131,6 +131,36 @@ class ColorizeImageBase:
         self.input_mask_mult = self.input_mask * self.mask_mult
         return 0
 
+    def net_forward_table(self, boxes, values, count):
+        """Fast interactive path: hint table in, frame out.
+
+        boxes (MAX_HINTS,4) int32 [y1,x1,y2,x2]; values (MAX_HINTS,2) ab;
+        count live hints (see ui.control.UIControl.hint_table). Uploads
+        ~1.8 KB/click and rasterizes on device inside the fused program;
+        numpy hint mirrors for the getters are rebuilt with the native
+        host rasterizer. Backends without a table program return -1.
+        """
+        if not self.img_l_set or not self.net_set:
+            return -1
+        click = getattr(self, "_click_tbl", None)
+        if click is None:
+            return -1
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        rgb, out_ab = click(self._dev_l_net, self._dev_l_mc, self.params,
+                            jnp.asarray(boxes, jnp.int32),
+                            jnp.asarray(values, jnp.float32),
+                            jnp.int32(count))
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb
+
     # ----- quality probe -----
     def get_result_PSNR(self, result=-1, return_SE_map=False):
         if np.array(result).flatten()[0] == -1:
@@ -286,6 +316,15 @@ class ColorizeImageJax(ColorizeImageBase):
             self._click = P.make_click_program(
                 lambda params, A, B, M, mc: siggraph.apply(
                     params, A, B, M, mc, dist=False))
+            mc = self.mask_cent
+
+            def fwd_tbl(params, l_mc, ab, mask):
+                # torch conventions: ab_mean=0, ab_norm=1, mask_mult=1 ->
+                # raw table values feed the net directly
+                return siggraph.apply(params, l_mc[None], ab, mask, mc,
+                                      dist=False)
+
+            self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
         self.net_set = True
 
     def net_forward(self, input_ab, input_mask):
@@ -413,6 +452,12 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
             return caffe_net.apply_main(params, blob)
 
         self._click = P.make_click_program(fwd)
+
+        def fwd_tbl(params, l_mc, ab, mask):
+            blob = jnp.concatenate([l_mc[None], ab, mask * mm], -1)
+            return caffe_net.apply_main(params, blob)
+
+        self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
 
     def net_forward(self, input_ab, input_mask):
         if super().net_forward(input_ab, input_mask) == -1:

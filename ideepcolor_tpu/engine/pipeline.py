@@ -105,6 +105,29 @@ def requantized_ab(rgb_u8: jax.Array) -> jax.Array:
     return cs.rgb_to_lab(rgb_u8.astype(jnp.float32) / 255.0)[..., 1:]
 
 
+def make_table_click_program(apply_fn, size: int):
+    """Fused click program fed by the fixed-slot hint table.
+
+    Uploads per click shrink from ~768 KB of dense (ab, mask) planes to the
+    (64, 7) hint table (~1.8 KB); rasterization happens inside the same XLA
+    program as the forward (ops.hints.rasterize_hints). apply_fn receives
+    (params, l_mc (H,W,1), ab (1,H,W,2), mask (1,H,W,1)) -> (N,H,W,2) ab
+    prediction. All image state travels as arguments (closed-over device
+    arrays would be baked as compile-time constants and go stale when the
+    image changes).
+    """
+    from ..ops.hints import rasterize_hints
+
+    @jax.jit
+    def click(l_net, l_mc, params, boxes, values, count):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        pred = apply_fn(params, l_mc, ab[None], mask[None])[0]
+        rgb = compose_rgb_u8(l_net, pred)
+        return rgb, requantized_ab(rgb)
+
+    return click
+
+
 def make_click_program(apply_fn):
     """Build the fused one-dispatch click program for a model family.
 

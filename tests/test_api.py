@@ -167,3 +167,43 @@ def test_global_histogram_transfer_end_to_end():
     m.load_image(IMG)
     out = m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)), glob)
     assert out.shape == (64, 64, 3)
+
+
+def test_table_path_matches_dense_path():
+    """net_forward_table (device-side rasterize, 1.8KB upload) must produce
+    the same frame as the dense net_forward path."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.ops import hints as oh
+    rng = np.random.default_rng(6)
+    for cls in (api.ColorizeImageJax, api.ColorizeImageJaxCaffe):
+        m = cls(Xd=64)
+        if cls is api.ColorizeImageJax:
+            m.prep_net(path='')
+        else:
+            m.prep_net(None)
+        m.set_image(_rand_image(7, 64, 64))
+        boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+        vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+        boxes[0] = [20, 20, 24, 24]; vals[0] = [35.0, -25.0]
+        boxes[1] = [40, 10, 42, 12]; vals[1] = [-15.0, 55.0]
+        out_tbl = m.net_forward_table(boxes, vals, 2)
+        assert out_tbl.shape == (64, 64, 3)
+        # dense reference path with identical rasterization
+        ab = np.zeros((2, 64, 64), np.float32)
+        mask = np.zeros((1, 64, 64), np.float32)
+        for (y1, x1, y2, x2), v in zip(boxes[:2], vals[:2]):
+            ab[:, y1:y2 + 1, x1:x2 + 1] = v[:, None, None]
+            mask[:, y1:y2 + 1, x1:x2 + 1] = 1
+        out_dense = m.net_forward(ab, mask)
+        assert np.array_equal(out_tbl, out_dense), cls.__name__
+        # hint mirrors were rebuilt for the getters
+        assert m.input_mask.sum() == mask.sum()
+
+
+def test_table_path_unavailable_on_dist_backend():
+    m = api.ColorizeImageJaxDist(Xd=64)
+    m.prep_net(path='')
+    m.set_image(_rand_image(8, 64, 64))
+    boxes = np.zeros((64, 4), np.int32)
+    vals = np.zeros((64, 2), np.float32)
+    assert m.net_forward_table(boxes, vals, 0) == -1
