@@ -153,22 +153,27 @@ def bench_global_hints(extras):
 
 
 def bench_batch_fullres(extras):
-    """Config 4: batched 32-image 2048px ab-upsample + L-fusion."""
+    """Config 4: batched 32-image 2048px ab-upsample + L-fusion.
+
+    Runs as 4 chunks of 8 (this environment's remote compile service
+    rejects programs with >~1 GB of argument buffers); the chunks pipeline
+    so throughput is still device-bound.
+    """
     import jax.numpy as jnp
     from ideepcolor_tpu.engine.batch import batch_fullres_fuse
     rng = np.random.default_rng(2)
-    N, HW = 32, 2048
-    l_full = jnp.asarray(rng.uniform(0, 100, (N, HW, HW, 1))
+    N, CH, HW = 32, 8, 2048
+    l_full = jnp.asarray(rng.uniform(0, 100, (CH, HW, HW, 1))
                          .astype(np.float32))
-    ab = jnp.asarray(rng.uniform(-80, 80, (N, 256, 256, 2))
+    ab = jnp.asarray(rng.uniform(-80, 80, (CH, 256, 256, 2))
                      .astype(np.float32))
-    out = batch_fullres_fuse(l_full, ab, (HW, HW))
-    _sync(out)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps - 1):
-        batch_fullres_fuse(l_full, ab, (HW, HW))
     _sync(batch_fullres_fuse(l_full, ab, (HW, HW)))
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(N // CH - 1):
+            batch_fullres_fuse(l_full, ab, (HW, HW))
+        _sync(batch_fullres_fuse(l_full, ab, (HW, HW)))
     dt = (time.perf_counter() - t0) / reps
     extras["batch32_fullres2048_imgs_per_sec"] = round(N / dt, 1)
 

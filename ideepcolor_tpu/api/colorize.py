@@ -336,10 +336,13 @@ class ColorizeImageJax(ColorizeImageBase):
         if self.dist:
             # Reference dist backend returns the raw (double-110-scaled)
             # regression array and does NOT compose an RGB frame
-            # (ref data/colorize_image.py:297-320).
+            # (ref data/colorize_image.py:297-320). The distribution is
+            # kept at Xd/4 on device (nearest-x4 lookups are index
+            # mappings; see models/siggraph.py dist_lowres).
             reg2, dist_cl = siggraph.apply(self.params, A, B, M,
-                                           self.mask_cent, dist=True)
-            self._dev_dist = dist_cl[0]                  # (Xd, Xd, 529)
+                                           self.mask_cent, dist=True,
+                                           dist_lowres=True)
+            self._dev_dist = dist_cl[0]                  # (Xd/4, Xd/4, 529)
             return np.asarray(reg2[0]).transpose(2, 0, 1)
         rgb, out_ab = self._click(self._dev_l_net, self.params, A, B, M,
                                   self.mask_cent)
@@ -376,7 +379,9 @@ class ColorizeImageJaxDist(ColorizeImageJax):
     @property
     def dist_ab(self):
         if self._dist_np is None:
-            self._dist_np = np.asarray(self._dev_dist).transpose(2, 0, 1)
+            lo = np.asarray(self._dev_dist).transpose(2, 0, 1)
+            # materialize the reference's x4-nearest-upsampled view
+            self._dist_np = lo.repeat(4, axis=1).repeat(4, axis=2)
         return self._dist_np
 
     @property
@@ -392,14 +397,16 @@ class ColorizeImageJaxDist(ColorizeImageJax):
             print('Need to set prediction first')
             return 0
         self._rng_key, sub = jax.random.split(self._rng_key)
+        # the device map is at Xd/4; nearest-x4 lookup == (h//4, w//4)
         centers, conf = P.suggest_at(
-            self._dev_dist, jnp.int32(h), jnp.int32(w),
+            self._dev_dist, jnp.int32(h // 4), jnp.int32(w // 4),
             jnp.asarray(self.pts_in_hull, jnp.float32), sub, K=K, N=N)
         centers, conf = np.asarray(centers), np.asarray(conf)
         return (centers, conf) if return_conf else centers
 
     def compute_entropy(self):
-        self.dist_entropy = np.asarray(P.dist_entropy(self._dev_dist))
+        lo = np.asarray(P.dist_entropy(self._dev_dist))
+        self.dist_entropy = lo.repeat(4, axis=0).repeat(4, axis=1)
 
     def plot_dist_grid(self, h, w):
         import matplotlib.pyplot as plt

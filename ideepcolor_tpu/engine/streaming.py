@@ -25,10 +25,13 @@ from ..ops import colorspace as cs
 @jax.jit
 def _stream_step(params, l_raw, hint_ab, hint_mask, maskcent):
     """One stream frame: raw (1,H,W,1) L in [0,100] -> (uint8 frame,
-    annealed 529-bin distribution for suggestion UIs)."""
+    529-bin suggestion distribution at H/4 resolution — point lookups at
+    (h//4, w//4) equal the reference's x4-nearest-upsampled map, without
+    the 16x buffer blowup per frame)."""
     reg2, dist = siggraph.apply(params, l_raw - 50.0, hint_ab, hint_mask,
                                 maskcent, dist=True,
-                                precision_name="default")
+                                precision_name="default",
+                                dist_lowres=True)
     ab = reg2 / 110.0                         # undo the dist-mode rescale
     rgb = cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab], axis=-1))
     return rgb, dist
@@ -45,7 +48,7 @@ class StreamingSession:
     """
 
     def __init__(self, params, size: int = 256, maskcent: float = 0.0,
-                 depth: int = 2, with_dist: bool = True):
+                 depth: int = 4, with_dist: bool = True):
         self.params = params
         self.size = size
         self.maskcent = jnp.float32(maskcent)

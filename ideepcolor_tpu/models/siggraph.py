@@ -160,10 +160,12 @@ def _block(params: Params, name: str, x: jax.Array,
     return x
 
 
-@partial(jax.jit, static_argnames=("dist", "precision_name"))
+@partial(jax.jit, static_argnames=("dist", "precision_name",
+                                   "dist_lowres"))
 def apply(params: Params, input_A: jax.Array, input_B: jax.Array,
           mask_B: jax.Array, maskcent: jax.Array | float = 0.0,
-          dist: bool = False, precision_name: str = "highest"):
+          dist: bool = False, precision_name: str = "highest",
+          dist_lowres: bool = False):
     """Forward pass.
 
     input_A (N,H,W,1) lightness - 50 in [-50, 50];
@@ -204,8 +206,14 @@ def apply(params: Params, input_A: jax.Array, input_B: jax.Array,
 
     if dist:
         logits = blk("model_class", conv8_3)
-        out_cl = upsample_nearest(
-            jax.nn.softmax(logits * 0.2, axis=-1), 4)
+        out_cl = jax.nn.softmax(logits * 0.2, axis=-1)
+        if not dist_lowres:
+            # The reference nearest-upsamples the distribution x4 to full
+            # res (ref models/pytorch/model.py:131,160). Point lookups on
+            # the upsampled map equal lookups at (h//4, w//4) on the H/4
+            # map, so dist_lowres=True keeps the (..., H/4, W/4, 529)
+            # form and avoids a 16x memory blowup on the hot path.
+            out_cl = upsample_nearest(out_cl, 4)
         out_reg = decode_tail(conv8_3)
         # NB: reference multiplies by 110 a second time in dist mode
         # (ref models/pytorch/model.py:166-168); value unused by callers
