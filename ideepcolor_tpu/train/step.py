@@ -107,3 +107,42 @@ def make_sharded_train_step(cfg: TrainConfig, mesh):
 
     jitted = jax.jit(step, donate_argnums=(0,))
     return jitted, shard_state, shard_batch
+
+
+# ----- checkpoint / resume (the reference has none; weights were
+# read-only downloads, ref models/fetch_models.sh) -----
+
+def save_train_state(path: str, state) -> None:
+    """Orbax checkpoint of the full train state (params + optimizer
+    moments + step) for elastic resume."""
+    import os
+    import numpy as np
+    import orbax.checkpoint as ocp
+    flat = {"step": np.asarray(state["step"])}
+    for k, v in state["params"].items():
+        flat[f"params/{k}"] = np.asarray(v)
+    leaves, treedef = jax.tree.flatten(state["opt_state"])
+    flat["__optdef__"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8)
+    for i, leaf in enumerate(leaves):
+        flat[f"opt/{i}"] = np.asarray(leaf)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), flat)
+
+
+def load_train_state(path: str, cfg: TrainConfig):
+    """Restore a train state saved by :func:`save_train_state`."""
+    import os
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        flat = ckptr.restore(os.path.abspath(path))
+    params = {k.split("/", 1)[1]: jnp.asarray(v)
+              for k, v in flat.items() if k.startswith("params/")}
+    opt_leaves = [jnp.asarray(flat[f"opt/{i}"])
+                  for i in range(sum(1 for k in flat if k.startswith("opt/")))]
+    # rebuild the optimizer tree structure from a fresh init
+    ref_opt = make_optimizer(cfg).init(params)
+    _, treedef = jax.tree.flatten(ref_opt)
+    opt_state = jax.tree.unflatten(treedef, opt_leaves)
+    return {"params": params, "opt_state": opt_state,
+            "step": jnp.asarray(flat["step"])}

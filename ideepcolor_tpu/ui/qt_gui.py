@@ -215,13 +215,19 @@ class GUIDraw(QWidget):
         return is_predict
 
     def compute_result(self):
-        im, mask = self.uiControl.get_input()
-        im_mask0 = (mask > 0.0).transpose(2, 0, 1)
         from ..api.colorize import rgb2lab_transpose, lab2rgb_transpose
-        im_lab = rgb2lab_transpose(im)
-        self.im_ab0 = im_lab[1:]
-        self.im_mask0 = im_mask0
-        self.model.net_forward(self.im_ab0, self.im_mask0)
+        # fast path: ship the 64-slot hint table, rasterize on device
+        # (one fused program, ~1.8 KB upload); falls back to the dense
+        # reference-parity path for backends without a table program.
+        boxes, vals, n = self.uiControl.hint_table()
+        out = self.model.net_forward_table(boxes, vals, n)
+        if np.isscalar(out) and out == -1:
+            im, mask = self.uiControl.get_input()
+            im_lab = rgb2lab_transpose(im)
+            self.model.net_forward(im_lab[1:],
+                                   (mask > 0.0).transpose(2, 0, 1))
+        self.im_ab0 = self.model.input_ab
+        self.im_mask0 = self.model.input_mask
         ab = self.model.output_ab.transpose(1, 2, 0)
         ab_win = cv2.resize(ab, (self.win_w, self.win_h),
                             interpolation=cv2.INTER_CUBIC)

@@ -95,3 +95,25 @@ def test_global_hint_dropout():
     assert np.allclose(out[kept, :-1].sum(1), 1.0, atol=1e-4)
     assert np.all(out[~kept] == 0)
     assert 0 < kept.sum() < 16
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    cfg = tstep.TrainConfig(lr=1e-3, remat=False)
+    state = tstep.init_state(jax.random.key(7), cfg)
+    train = jax.jit(tstep.make_train_step(cfg))
+    rng = np.random.default_rng(8)
+    batch = {
+        "l": jnp.asarray(rng.uniform(0, 100, (2, 32, 32, 1)), jnp.float32),
+        "ab": jnp.asarray(rng.uniform(-60, 60, (2, 32, 32, 2)), jnp.float32),
+    }
+    state, _ = train(state, batch, jax.random.key(0))
+    tstep.save_train_state(str(tmp_path / "ck"), state)
+    restored = tstep.load_train_state(str(tmp_path / "ck"), cfg)
+    assert int(restored["step"]) == 1
+    # continuing from the restored state matches continuing directly
+    s1, a1 = train(state, batch, jax.random.key(1))
+    s2, a2 = train(restored, batch, jax.random.key(1))
+    assert np.allclose(float(a1["loss"]), float(a2["loss"]), atol=1e-6)
+    k = "model1.0.weight"
+    assert np.allclose(np.asarray(s1["params"][k]),
+                       np.asarray(s2["params"][k]), atol=1e-7)
