@@ -109,7 +109,25 @@ def bench_click_latency(extras):
         lat.append(time.perf_counter() - t0)
     lat = np.sort(lat) * 1000.0
     extras["p95_ms"] = round(float(lat[int(len(lat) * 0.95)]), 2)
-    return float(lat[len(lat) // 2]), cm
+    extras["dense_path_p50_ms"] = round(float(lat[len(lat) // 2]), 2)
+
+    # the GUI's actual click path: 64-slot hint table, device rasterize
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+    boxes[0] = [133, 158, 138, 163]; vals[0] = [23, -69]
+    boxes[1] = [98, 158, 102, 162]; vals[1] = [0, 0]
+    cm.net_forward_table(boxes, vals, 2)
+    tlat = []
+    for i in range(40):
+        k = 2 + (i % (MAX_HINTS - 2))
+        boxes[k] = [40 + (i % 8) * 20, 60, 44 + (i % 8) * 20, 64]
+        vals[k] = [((i * 7) % 100) - 50, ((i * 13) % 100) - 50]
+        t0 = time.perf_counter()
+        cm.net_forward_table(boxes, vals, k + 1)
+        tlat.append(time.perf_counter() - t0)
+    tlat = np.sort(tlat) * 1000.0
+    return float(tlat[len(tlat) // 2]), cm
 
 
 def bench_throughput(cm, extras):

@@ -34,7 +34,10 @@ def _stream_step(params, l_raw, hint_ab, hint_mask, maskcent):
                                 dist_lowres=True)
     ab = reg2 / 110.0                         # undo the dist-mode rescale
     rgb = cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab], axis=-1))
-    return rgb, dist
+    # return batch-squeezed arrays: materialization must touch the SAME
+    # array the async host copy was started on (slicing later would create
+    # a new lazy computation and re-pay the round trip)
+    return rgb[0], dist[0]
 
 
 class StreamingSession:
@@ -93,5 +96,5 @@ class StreamingSession:
         rgb, dist = out
         self.frames_out += 1
         if self.with_dist:
-            return np.asarray(rgb[0]), dist[0]   # dist stays device-side
-        return np.asarray(rgb[0]), None
+            return np.asarray(rgb), dist        # dist stays device-side
+        return np.asarray(rgb), None

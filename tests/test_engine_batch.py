@@ -71,7 +71,7 @@ def test_streaming_session_pipelines_and_matches_direct():
     rgb_d, _ = streaming._stream_step(
         params, l, jnp.asarray(hint_ab)[None], jnp.asarray(hint_mask)[None],
         jnp.float32(0.0))
-    assert np.array_equal(rgb0, np.asarray(rgb_d[0]))
+    assert np.array_equal(rgb0, np.asarray(rgb_d))   # already squeezed
 
 
 def test_streaming_hint_swap_changes_output():
