@@ -125,9 +125,21 @@ class ColorizeImageBase:
         if not self.net_set:
             print('I need to have a net!')
             return -1
-        self.input_ab = np.asarray(input_ab, np.float32)
+        input_ab = np.asarray(input_ab, np.float32)
+        input_mask = np.asarray(input_mask, np.float32)
+        # shape validation (the reference silently misbehaves on
+        # transposed/mis-sized inputs; fail loudly instead)
+        if input_ab.shape != (2, self.Xd, self.Xd):
+            raise ValueError(
+                f"input_ab must be (2,{self.Xd},{self.Xd}) channel-first, "
+                f"got {input_ab.shape}")
+        if input_mask.shape != (1, self.Xd, self.Xd):
+            raise ValueError(
+                f"input_mask must be (1,{self.Xd},{self.Xd}), got "
+                f"{input_mask.shape}")
+        self.input_ab = input_ab
         self.input_ab_mc = (self.input_ab - self.ab_mean) / self.ab_norm
-        self.input_mask = np.asarray(input_mask, np.float32)
+        self.input_mask = input_mask
         self.input_mask_mult = self.input_mask * self.mask_mult
         return 0
 

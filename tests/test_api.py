@@ -207,3 +207,10 @@ def test_table_path_unavailable_on_dist_backend():
     boxes = np.zeros((64, 4), np.int32)
     vals = np.zeros((64, 2), np.float32)
     assert m.net_forward_table(boxes, vals, 0) == -1
+
+
+def test_net_forward_validates_shapes(caffe_model):
+    with pytest.raises(ValueError, match="channel-first"):
+        caffe_model.net_forward(np.zeros((64, 64, 2)), np.zeros((1, 64, 64)))
+    with pytest.raises(ValueError, match="input_mask"):
+        caffe_model.net_forward(np.zeros((2, 64, 64)), np.zeros((64, 64)))

@@ -105,3 +105,21 @@ def test_init_params_shapes_and_run():
     out = np.asarray(siggraph.apply(params, A, B, mask, 0.0))
     assert out.shape == (1, 32, 32, 2)
     assert np.all(np.abs(out) <= 110.0)
+
+
+def test_apply_train_consistent_with_apply():
+    """apply_train's outputs must equal apply's modulo the serving-only
+    transformations (double-110 scale, softmax(x0.2), x4 upsample)."""
+    import jax
+    from ideepcolor_tpu.ops.resize import upsample_nearest
+    params = siggraph.init_params(jax.random.key(3))
+    A, B, mask = _rand_inputs(seed=4, size=32)
+    reg_t, logits = siggraph.apply_train(params, A, B, mask, 0.0,
+                                         precision_name="highest")
+    reg_i, cl = siggraph.apply(params, A, B, mask, 0.0, dist=True)
+    reg_t, logits = np.asarray(reg_t), np.asarray(logits)
+    reg_i, cl = np.asarray(reg_i), np.asarray(cl)
+    assert np.max(np.abs(reg_t * 110.0 - reg_i)) < 1e-2
+    want_cl = np.asarray(upsample_nearest(
+        jax.nn.softmax(jnp.asarray(logits) * 0.2, axis=-1), 4))
+    assert np.max(np.abs(cl - want_cl)) < 1e-5
