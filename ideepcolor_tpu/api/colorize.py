@@ -143,6 +143,12 @@ class ColorizeImageBase:
         self.input_mask_mult = self.input_mask * self.mask_mult
         return 0
 
+    def _hints3(self):
+        """One (H,W,3) host array = normalized ab hints + multiplied mask
+        (a single transfer feeding the fused click programs)."""
+        return jnp.asarray(np.concatenate(
+            [self.input_ab_mc, self.input_mask_mult], 0).transpose(1, 2, 0))
+
     def net_forward_table(self, boxes, values, count):
         """Fast interactive path: hint table in, frame out.
 
@@ -325,9 +331,12 @@ class ColorizeImageJax(ColorizeImageBase):
             self.params = {k: jnp.asarray(v) for k, v in sd.items()}
         self.dist = dist
         if not dist:
+            # hints travel as one (H,W,3) array = ab_mc + mask (a single
+            # host->device transfer per click instead of two)
             self._click = P.make_click_program(
-                lambda params, A, B, M, mc: siggraph.apply(
-                    params, A, B, M, mc, dist=False))
+                lambda params, A, h3, mc: siggraph.apply(
+                    params, A, h3[None, ..., :2], h3[None, ..., 2:], mc,
+                    dist=False))
             mc = self.mask_cent
 
             def fwd_tbl(params, l_mc, ab, mask):
@@ -343,8 +352,9 @@ class ColorizeImageJax(ColorizeImageBase):
         if super().net_forward(input_ab, input_mask) == -1:
             return -1
         A = self._dev_l_mc[None]
-        B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
-        M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
+        if self.dist:
+            B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
+            M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
         if self.dist:
             # Reference dist backend returns the raw (double-110-scaled)
             # regression array and does NOT compose an RGB frame
@@ -356,8 +366,8 @@ class ColorizeImageJax(ColorizeImageBase):
                                            dist_lowres=True)
             self._dev_dist = dist_cl[0]                  # (Xd/4, Xd/4, 529)
             return np.asarray(reg2[0]).transpose(2, 0, 1)
-        rgb, out_ab = self._click(self._dev_l_net, self.params, A, B, M,
-                                  self.mask_cent)
+        rgb, out_ab = self._click(self._dev_l_net, self.params, A,
+                                  self._hints3(), self.mask_cent)
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
         self._set_out_ab_()
@@ -466,8 +476,9 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
     def _make_click(self):
         mm = self.mask_mult
 
-        def fwd(params, l_mc, ab, mask):
-            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+        def fwd(params, l_mc, h3):
+            # h3 = (H,W,3) [ab_mc, mask*mask_mult] — mask already scaled
+            blob = jnp.concatenate([l_mc, h3], -1)[None]
             return caffe_net.apply_main(params, blob)
 
         self._click = P.make_click_program(fwd)
@@ -482,9 +493,7 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
         if super().net_forward(input_ab, input_mask) == -1:
             return -1
         rgb, out_ab = self._click(
-            self._dev_l_net, self.params, self._dev_l_mc,
-            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
-            jnp.asarray(self.input_mask.transpose(1, 2, 0)))
+            self._dev_l_net, self.params, self._dev_l_mc, self._hints3())
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
         self._set_out_ab_()
@@ -512,9 +521,7 @@ class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
                 [np.asarray(glob_dist, np.float32).ravel(),
                  [self.glob_mask_mult]]).astype(np.float32)[None]
         rgb, out_ab = self._click(
-            self._dev_l_net, self.params, self._dev_l_mc,
-            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
-            jnp.asarray(self.input_mask.transpose(1, 2, 0)),
+            self._dev_l_net, self.params, self._dev_l_mc, self._hints3(),
             jnp.asarray(glob))
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
@@ -524,8 +531,8 @@ class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
     def _make_click(self):
         mm = self.mask_mult
 
-        def fwd(params, l_mc, ab, mask, glob):
-            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+        def fwd(params, l_mc, h3, glob):
+            blob = jnp.concatenate([l_mc, h3], -1)[None]
             return caffe_net.apply_global(params, blob, glob)
 
         self._click = P.make_click_program(fwd)
@@ -556,8 +563,8 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
         mm = self.mask_mult
 
         @jax.jit
-        def click(l_net, params, l_mc, ab, mask):
-            blob = jnp.concatenate([l_mc, ab, mask * mm], -1)[None]
+        def click(l_net, params, l_mc, h3):
+            blob = jnp.concatenate([l_mc, h3], -1)[None]
             pred_ab, dist_S = caffe_net.apply_dist(params, blob)
             rgb = P.compose_rgb_u8(l_net, pred_ab[0])
             return rgb, P.requantized_ab(rgb), dist_S[0]
@@ -568,9 +575,7 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
         if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:
             return -1
         rgb, out_ab, dist_S = self._click(
-            self._dev_l_net, self.params, self._dev_l_mc,
-            jnp.asarray(self.input_ab_mc.transpose(1, 2, 0)),
-            jnp.asarray(self.input_mask.transpose(1, 2, 0)))
+            self._dev_l_net, self.params, self._dev_l_mc, self._hints3())
         self._dev_dist = dist_S                          # (Xd, Xd, 313)
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
