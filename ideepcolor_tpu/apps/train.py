@@ -1,0 +1,92 @@
+"""Training CLI: user-guided colorization on an image folder.
+
+The reference points at an external repo for training (ref README.md:
+129-131); this makes training first-class:
+  data pipeline (train/data.py) -> simulated hints -> DP train step over
+  the device mesh -> orbax checkpoints -> converted params usable by the
+  interactive API.
+
+Run: python -m ideepcolor_tpu.apps.train DATA_DIR [--steps N] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("data_dir")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=176,
+                    help="training crop size (must be divisible by 8)")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--ckpt", type=str, default="./train_ckpt")
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--resume", type=str, default="")
+    ap.add_argument("--model-parallel", type=int, default=1)
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ideepcolor_tpu.parallel import mesh as pmesh
+    from ideepcolor_tpu.train import step as tstep
+    from ideepcolor_tpu.train.data import ImageFolderLoader
+    from ideepcolor_tpu.utils.profiling import StageTimer
+
+    cfg = tstep.TrainConfig(lr=args.lr)
+    # fit the data axis to the batch size (batch must shard evenly)
+    mp = args.model_parallel
+    n_data = max(1, len(jax.devices()) // mp)
+    while args.batch % n_data:
+        n_data -= 1
+    mesh = pmesh.make_mesh(n_data * mp, model_parallel=mp)
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    if args.resume:
+        state = tstep.load_train_state(args.resume, cfg)
+        print(f"resumed at step {int(state['step'])}")
+    else:
+        state = tstep.init_state(jax.random.key(0), cfg)
+
+    jitted, shard_state, shard_batch = tstep.make_sharded_train_step(
+        cfg, mesh)
+    loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
+                               size=args.size)
+    timer = StageTimer()
+    key = jax.random.key(1)
+
+    with mesh:
+        state = shard_state(state)
+        for i, batch in enumerate(loader):
+            if i >= args.steps:
+                break
+            key, sub = jax.random.split(key)
+            with timer.stage("step"):
+                state, aux = jitted(
+                    state,
+                    shard_batch({k: jnp.asarray(v)
+                                 for k, v in batch.items()}), sub)
+            if (i + 1) % args.log_every == 0:
+                print(f"step {int(state['step'])}: "
+                      f"loss={float(aux['loss']):.4f} "
+                      f"reg={float(aux['reg']):.4f} "
+                      f"cls={float(aux['cls']):.4f}", flush=True)
+            if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+                path = f"{args.ckpt}_{int(state['step'])}"
+                tstep.save_train_state(path, jax.device_get(state))
+                print(f"checkpoint -> {path}")
+    loader.close()
+    print(timer.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

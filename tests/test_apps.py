@@ -48,3 +48,42 @@ def test_demo_global_histogram_session():
     res = demos.demo_global_histogram(IMG, ref, Xd=64)
     assert abs(res["glob_dist"].sum() - 1) < 1e-4
     assert not np.array_equal(res["auto"], res["with_ref"])
+
+
+def test_train_cli_smoke(tmp_path):
+    """End-to-end training CLI: 3 steps on the reference test images."""
+    import shutil
+    data = tmp_path / "data"
+    data.mkdir()
+    src = "/root/reference/test_imgs/mortar_pestle.jpg"
+    if not os.path.exists(src):
+        pytest.skip("no images")
+    for i in range(3):
+        shutil.copy(src, data / f"im{i}.jpg")
+    from ideepcolor_tpu.apps import train as train_cli
+    rc = train_cli.main([str(data), "--steps", "3", "--batch", "2",
+                         "--size", "32", "--ckpt",
+                         str(tmp_path / "ck"), "--ckpt-every", "3",
+                         "--log-every", "1"])
+    assert rc == 0
+    # checkpoint was written and is loadable
+    from ideepcolor_tpu.train import step as tstep
+    st = tstep.load_train_state(str(tmp_path / "ck_3"),
+                                tstep.TrainConfig())
+    assert int(st["step"]) == 3
+
+
+def test_image_folder_loader(tmp_path):
+    import shutil
+    src = "/root/reference/test_imgs/mortar_pestle.jpg"
+    if not os.path.exists(src):
+        pytest.skip("no images")
+    shutil.copy(src, tmp_path / "a.jpg")
+    from ideepcolor_tpu.train.data import ImageFolderLoader
+    loader = ImageFolderLoader(str(tmp_path), batch_size=2, size=64,
+                               workers=1, prefetch=1)
+    b = next(loader)
+    loader.close()
+    assert b["l"].shape == (2, 64, 64, 1) and b["ab"].shape == (2, 64, 64, 2)
+    assert 0 <= b["l"].min() and b["l"].max() <= 100
+    assert np.abs(b["ab"]).max() <= 128
