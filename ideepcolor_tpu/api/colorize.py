@@ -179,6 +179,35 @@ class ColorizeImageBase:
         self._set_out_ab_()
         return self.output_rgb
 
+    def net_forward_fullres(self, input_ab, input_mask):
+        """Forward + full-res reconstruction in ONE device dispatch.
+
+        Returns (img_256 uint8, img_fullres uint8). Equivalent to
+        ``net_forward`` followed by ``get_img_fullres`` (the standard
+        notebook pattern) but pays a single round trip: the fused program
+        runs the model, composes the net-res frame, requantizes ab and
+        performs the matmul-upsample + L-fusion in the same XLA program.
+        """
+        if not self.img_l_set or not self.net_set:
+            return -1
+        if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:
+            return -1
+        out = self._dispatch_click()
+        if out is None:
+            return -1
+        rgb, out_ab = out
+        out_hw = tuple(self.img_l_fullres.shape[1:])
+        full = P.fullres_fuse(self._dev_l_fullres, out_ab, out_hw)
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb, np.asarray(full)
+
+    def _dispatch_click(self):
+        """Dispatch the backend's dense click program (no readback);
+        None when the backend has no single-output click program."""
+        return None
+
     # ----- quality probe -----
     def get_result_PSNR(self, result=-1, return_SE_map=False):
         if np.array(result).flatten()[0] == -1:
@@ -366,12 +395,18 @@ class ColorizeImageJax(ColorizeImageBase):
                                            dist_lowres=True)
             self._dev_dist = dist_cl[0]                  # (Xd/4, Xd/4, 529)
             return np.asarray(reg2[0]).transpose(2, 0, 1)
-        rgb, out_ab = self._click(self._dev_l_net, self.params, A,
-                                  self._hints3(), self.mask_cent)
+        rgb, out_ab = self._dispatch_click()
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
         self._set_out_ab_()
         return self.output_rgb
+
+    def _dispatch_click(self):
+        if self.dist:
+            return None
+        return self._click(self._dev_l_net, self.params,
+                           self._dev_l_mc[None], self._hints3(),
+                           self.mask_cent)
 
 
 class ColorizeImageJaxDist(ColorizeImageJax):
@@ -492,12 +527,15 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
     def net_forward(self, input_ab, input_mask):
         if super().net_forward(input_ab, input_mask) == -1:
             return -1
-        rgb, out_ab = self._click(
-            self._dev_l_net, self.params, self._dev_l_mc, self._hints3())
+        rgb, out_ab = self._dispatch_click()
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
         self._set_out_ab_()
         return self.output_rgb
+
+    def _dispatch_click(self):
+        return self._click(self._dev_l_net, self.params, self._dev_l_mc,
+                           self._hints3())
 
 
 class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):

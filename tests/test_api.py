@@ -214,3 +214,27 @@ def test_net_forward_validates_shapes(caffe_model):
         caffe_model.net_forward(np.zeros((64, 64, 2)), np.zeros((1, 64, 64)))
     with pytest.raises(ValueError, match="input_mask"):
         caffe_model.net_forward(np.zeros((2, 64, 64)), np.zeros((64, 64)))
+
+
+def test_net_forward_fullres_matches_two_step(caffe_model):
+    m = caffe_model
+    ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
+    ab[:, 30:33, 30:33] = np.array([40.0, -20.0])[:, None, None]
+    mask[:, 30:33, 30:33] = 1
+    out256, full = m.net_forward_fullres(ab, mask)
+    want256 = m.net_forward(ab, mask)
+    want_full = m.get_img_fullres()
+    assert np.array_equal(out256, want256)
+    assert np.array_equal(full, want_full)
+
+    s = api.ColorizeImageJax(Xd=64)
+    s.prep_net(path='')
+    s.set_image(_rand_image(9, 64, 64))
+    o, f = s.net_forward_fullres(ab, mask)
+    assert o.shape == (64, 64, 3) and f.shape == (64, 64, 3)
+
+    # dist backends don't expose the single-output click program
+    d = api.ColorizeImageJaxDist(Xd=64)
+    d.prep_net(path='')
+    d.set_image(_rand_image(10, 64, 64))
+    assert d.net_forward_fullres(ab, mask) == -1
