@@ -17,6 +17,16 @@ import os
 import numpy as np
 
 
+def create_temp_directory(path_template: str, N: int = int(1e8)) -> str:
+    """Create a fresh randomly-numbered directory from a %d template
+    (ref data/colorize_image.py:10-17)."""
+    cur_path = path_template % np.random.randint(0, N)
+    while os.path.exists(cur_path):
+        cur_path = path_template % np.random.randint(0, N)
+    os.makedirs(cur_path)
+    return cur_path
+
+
 def save_session(save_dir: str, model, im_ab0: np.ndarray,
                  im_mask0: np.ndarray, result_rgb: np.ndarray | None = None,
                  timestamp: bool = True) -> str:
