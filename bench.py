@@ -126,6 +126,20 @@ def bench_click_latency(extras):
         cm.net_forward_table(boxes, vals, k + 1)
         tlat.append(time.perf_counter() - t0)
     tlat = np.sort(tlat) * 1000.0
+
+    # bfloat16 serving headroom on the same table path
+    import jax.numpy as jnp
+    f32_params = cm.params
+    cm.params = {k: v.astype(jnp.bfloat16) for k, v in f32_params.items()}
+    cm.net_forward_table(boxes, vals, 3)
+    blat = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        cm.net_forward_table(boxes, vals, 3 + (i % 4))
+        blat.append(time.perf_counter() - t0)
+    extras["bf16_table_click_p50_ms"] = round(
+        float(np.sort(blat)[10] * 1000.0), 2)
+    cm.params = f32_params
     return float(tlat[len(tlat) // 2]), cm
 
 

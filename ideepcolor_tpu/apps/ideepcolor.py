@@ -32,6 +32,20 @@ def parse_args(argv=None):
     parser.add_argument('--color_model', dest='color_model', type=str,
                         default='', help='checkpoint (.pth/.npz) for the '
                                          'colorization model')
+    # reference-CLI parity flags for the caffe graph paths
+    # (ref ideepcolor.py:17-31); prototxt paths are accepted and ignored
+    # (graph structure is built in, weights come from the converted
+    # caffemodel)
+    parser.add_argument('--color_prototxt', type=str, default='',
+                        help='accepted for parity; unused')
+    parser.add_argument('--color_caffemodel', type=str, default='',
+                        help='converted caffe weights (.npz) for the '
+                             'color model')
+    parser.add_argument('--dist_prototxt', type=str, default='',
+                        help='accepted for parity; unused')
+    parser.add_argument('--dist_caffemodel', type=str, default='',
+                        help='converted caffe weights (.npz) for the '
+                             'dist model')
     parser.add_argument('--dist_model', dest='dist_model', type=str,
                         default='', help='checkpoint for the distribution '
                                          'model')
@@ -62,12 +76,16 @@ def build_models(args):
             dist_model.prep_net(path=args.dist_model or args.color_model)
     else:
         color_model = api.ColorizeImageJaxCaffe(Xd=args.load_size)
-        color_model.prep_net(args.gpu, caffemodel_path=args.color_model)
+        color_model.prep_net(
+            args.gpu, prototxt_path=args.color_prototxt,
+            caffemodel_path=args.color_caffemodel or args.color_model)
         dist_model = None
         if not args.no_dist:
             dist_model = api.ColorizeImageJaxCaffeDist(Xd=args.load_size)
-            dist_model.prep_net(args.gpu,
-                                caffemodel_path=args.dist_model, S=0.2)
+            dist_model.prep_net(
+                args.gpu, prototxt_path=args.dist_prototxt,
+                caffemodel_path=args.dist_caffemodel or args.dist_model,
+                S=0.2)
     return color_model, dist_model
 
 

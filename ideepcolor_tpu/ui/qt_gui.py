@@ -85,6 +85,27 @@ class GUIDraw(QWidget):
         self.read_image(image_file)
         self.reset()
 
+    def get_batches(self, img_dir):
+        """Batch annotation mode over a directory
+        (ref ui/gui_draw.py:51-66)."""
+        self.img_list = sorted(glob.glob(os.path.join(img_dir, '*.JPEG'))
+                               + glob.glob(os.path.join(img_dir, '*.jpg')))
+        self.total_images = len(self.img_list)
+        if self.total_images:
+            self.image_id = 0
+            self.init_result(self.img_list[0])
+
+    def nextImage(self):
+        self.save_result()
+        self.image_id += 1
+        if self.image_id == self.total_images:
+            print('you have finished all the results')
+            sys.exit()
+        self.init_result(self.img_list[self.image_id])
+
+    def erase(self):
+        self.eraseMode = not getattr(self, 'eraseMode', False)
+
     def read_image(self, image_file):
         self.image_loaded = True
         self.image_file = image_file
