@@ -12,7 +12,6 @@ Run: python -m ideepcolor_tpu.apps.train DATA_DIR [--steps N] [--batch N]
 from __future__ import annotations
 
 import argparse
-import time
 
 
 def parse_args(argv=None):

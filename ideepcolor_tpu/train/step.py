@@ -10,8 +10,6 @@ inserted by XLA from the sharding annotations — no hand-written collectives.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -28,10 +28,10 @@ import sys
 import numpy as np
 
 try:
-    from PyQt5.QtCore import Qt, QPoint, QSize, pyqtSignal, QTimer
+    from PyQt5.QtCore import Qt, QPoint, QSize, pyqtSignal
     from PyQt5.QtGui import QColor, QImage, QPainter, QPen
     from PyQt5.QtWidgets import (
-        QApplication, QCheckBox, QFileDialog, QGridLayout, QGroupBox,
+        QApplication, QCheckBox, QFileDialog, QGroupBox,
         QHBoxLayout, QMainWindow, QPushButton, QVBoxLayout, QWidget)
 except ImportError as e:  # pragma: no cover - import-gated
     raise ImportError(

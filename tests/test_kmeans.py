@@ -61,3 +61,20 @@ def test_ab_recommendations_close_to_sklearn():
                                      axis=1)) < 6.0
     # confidences sum to 1
     assert abs(float(np.asarray(got_conf).sum()) - 1.0) < 1e-5
+
+
+def test_pipeline_suggest_at_peaked_dist():
+    """engine.pipeline.suggest_at: gather + sample + kmeans at a pixel."""
+    from ideepcolor_tpu.engine import pipeline as P
+    import jax.numpy as jnp
+    bins = color_bins.get_bins()
+    H = W = 8
+    dist = np.full((H, W, 313), 1e-9, np.float32)
+    dist[3, 4, 120] = 1.0                      # delta at one bin
+    dist /= dist.sum(-1, keepdims=True)
+    centers, conf = P.suggest_at(
+        jnp.asarray(dist), jnp.int32(3), jnp.int32(4),
+        jnp.asarray(bins.pts_in_hull, np.float32), jax.random.key(0), K=3)
+    centers, conf = np.asarray(centers), np.asarray(conf)
+    assert np.allclose(centers[0], bins.pts_in_hull[120], atol=0.5)
+    assert conf[0] > 0.99
