@@ -87,3 +87,17 @@ def test_image_folder_loader(tmp_path):
     assert b["l"].shape == (2, 64, 64, 1) and b["ab"].shape == (2, 64, 64, 2)
     assert 0 <= b["l"].min() and b["l"].max() <= 100
     assert np.abs(b["ab"]).max() <= 128
+
+
+def test_gui_module_import_gated():
+    """Without PyQt5 the GUI module must raise an informative ImportError;
+    the CLI must degrade gracefully (exit code 1, headless hint printed)."""
+    try:
+        import PyQt5  # noqa: F401
+        pytest.skip("PyQt5 present; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="headless API"):
+        from ideepcolor_tpu.ui import qt_gui  # noqa: F401
+    rc = app.main(['--load_size', '64', '--no_dist'])
+    assert rc == 1
