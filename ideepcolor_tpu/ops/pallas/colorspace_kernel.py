@@ -55,7 +55,9 @@ def _lab2rgb_u8_kernel(l_ref, a_ref, b_ref, out_ref):
     for c in range(3):
         lin = m[c][0] * x + m[c][1] * y + m[c][2] * z
         srgb = jnp.clip(_lin2srgb(lin), 0.0, 1.0)
-        out_ref[c, :, :] = (srgb * 255.0).astype(jnp.uint8)
+        # Mosaic has no direct f32->u8 cast; go through int32 (values are
+        # already clipped to [0, 255]).
+        out_ref[c, :, :] = (srgb * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _on_tpu() -> bool:
