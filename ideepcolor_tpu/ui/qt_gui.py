@@ -131,6 +131,12 @@ class GUIDraw(QWidget):
         self.im_lab = rgb2lab_transpose(im_rgb_load).transpose(1, 2, 0)
         self.l_win = rgb2lab_transpose(
             cv2.cvtColor(self.im_win, cv2.COLOR_BGR2RGB))[0]
+        # device-resident window-size L plane: the per-click window frame
+        # is composed on device (upsample + L-fusion + lab2rgb in one
+        # program) instead of cv2+host colorspace per click
+        import jax.numpy as jnp
+        self._dev_l_win = jnp.asarray(self.l_win[..., None]
+                                      .astype(np.float32))
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
@@ -249,11 +255,19 @@ class GUIDraw(QWidget):
                                    (mask > 0.0).transpose(2, 0, 1))
         self.im_ab0 = self.model.input_ab
         self.im_mask0 = self.model.input_mask
-        ab = self.model.output_ab.transpose(1, 2, 0)
-        ab_win = cv2.resize(ab, (self.win_w, self.win_h),
-                            interpolation=cv2.INTER_CUBIC)
-        self.result = lab2rgb_transpose(
-            self.l_win[None], ab_win.transpose(2, 0, 1))
+        dev_ab = getattr(self.model, "_dev_output_ab", None)
+        if dev_ab is not None:
+            # one fused device program: ab upsample to window size +
+            # window-L fusion + lab2rgb + uint8 (no host colorspace work)
+            from ..engine import pipeline as P
+            self.result = np.asarray(P.fullres_fuse(
+                self._dev_l_win, dev_ab, (self.win_h, self.win_w)))
+        else:
+            ab = self.model.output_ab.transpose(1, 2, 0)
+            ab_win = cv2.resize(ab, (self.win_w, self.win_h),
+                                interpolation=cv2.INTER_CUBIC)
+            self.result = lab2rgb_transpose(
+                self.l_win[None], ab_win.transpose(2, 0, 1))
         self.update_result.emit(self.result)
         self.update()
 
