@@ -117,3 +117,17 @@ def test_train_state_checkpoint_resume(tmp_path):
     k = "model1.0.weight"
     assert np.allclose(np.asarray(s1["params"][k]),
                        np.asarray(s2["params"][k]), atol=1e-7)
+
+
+def test_shard_params_and_batch_helpers():
+    from ideepcolor_tpu.models import siggraph
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    params = siggraph.init_params(jax.random.key(1))
+    sharded = pmesh.shard_params(params, mesh)
+    # TP param physically sharded over 'model'; others replicated
+    tp = sharded["model5.0.weight"]
+    rep = sharded["model1.0.weight"]
+    assert not tp.sharding.is_fully_replicated
+    assert rep.sharding.is_fully_replicated
+    batch = pmesh.shard_batch({"x": np.zeros((8, 4), np.float32)}, mesh)
+    assert not batch["x"].sharding.is_fully_replicated
