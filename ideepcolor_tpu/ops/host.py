@@ -74,15 +74,43 @@ def _f32(a):
     return np.ascontiguousarray(a, np.float32)
 
 
+# numpy fallbacks (same published CIE constants as native/hostops.cpp)
+_M = np.array([[0.412456439089692, 0.357576077643909, 0.180437483266399],
+               [0.212672851405623, 0.715152155287818, 0.072174993306560],
+               [0.019333895582329, 0.119192025881303, 0.950304078536368]])
+_MINV = np.linalg.inv(_M)
+_WHITE = np.array([0.95047, 1.0, 1.08883])
+_KAPPA = 24389.0 / 27.0
+
+
+def _np_rgb2lab(rgb: np.ndarray) -> np.ndarray:
+    x = rgb.astype(np.float64)
+    lin = np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+    t = (lin @ _M.T) / _WHITE
+    f = np.where(t > 216.0 / 24389.0, np.cbrt(t),
+                 (_KAPPA * t + 16.0) / 116.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)],
+                    -1).astype(np.float32)
+
+
+def _np_lab2rgb(lab: np.ndarray) -> np.ndarray:
+    L, a, b = (lab.astype(np.float64)[..., i] for i in range(3))
+    fy = (L + 16) / 116
+    f = np.stack([fy + a / 500, fy, fy - b / 200], -1)
+    xyz = np.where(f > 6 / 29, f ** 3, (116 * f - 16) / _KAPPA) * _WHITE
+    lin = xyz @ _MINV.T
+    srgb = np.where(lin <= 0.0031308, lin * 12.92,
+                    1.055 * np.maximum(lin, 0) ** (1 / 2.4) - 0.055)
+    return np.clip(srgb, 0, 1).astype(np.float32)
+
+
 def rgb2lab(rgb: np.ndarray) -> np.ndarray:
     """(..., 3) sRGB [0,1] -> Lab, native path with numpy fallback."""
     lib = get_lib()
     rgb = _f32(rgb)
     if lib is None:
-        import sys
-        sys.path.insert(0, os.path.join(_REPO, "tests"))
-        import _np_colorspace as ref
-        return ref.rgb2lab(rgb.astype(np.float64)).astype(np.float32)
+        return _np_rgb2lab(rgb)
     out = np.empty_like(rgb)
     lib.rgb2lab_f32(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -94,10 +122,7 @@ def lab2rgb(lab: np.ndarray) -> np.ndarray:
     lib = get_lib()
     lab = _f32(lab)
     if lib is None:
-        import sys
-        sys.path.insert(0, os.path.join(_REPO, "tests"))
-        import _np_colorspace as ref
-        return ref.lab2rgb(lab.astype(np.float64)).astype(np.float32)
+        return _np_lab2rgb(lab)
     out = np.empty_like(lab)
     lib.lab2rgb_f32(lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

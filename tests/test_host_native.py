@@ -63,3 +63,13 @@ def test_native_zoom_matches_scipy():
     want = szoom(x, (63 / 20, 41 / 17, 1), order=1)
     assert got.shape == want.shape
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_numpy_fallbacks_match_native():
+    """The pure-numpy fallbacks must agree with the C++ kernels."""
+    if not host.available():
+        pytest.skip("native lib unavailable")
+    rgb = RNG.random((20, 20, 3)).astype(np.float32)
+    assert np.max(np.abs(host._np_rgb2lab(rgb) - host.rgb2lab(rgb))) < 1e-3
+    lab = host.rgb2lab(rgb)
+    assert np.max(np.abs(host._np_lab2rgb(lab) - host.lab2rgb(lab))) < 1e-4
