@@ -497,14 +497,20 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
         self.pts_in_hull = get_bins().pts_in_hull
 
     def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path=''):
-        sd = _load_checkpoint(caffemodel_path) if (
-            caffemodel_path and not caffemodel_path.endswith(".caffemodel")
-        ) else None
-        if sd is None:
-            self.params = caffe_net.init_params(jax.random.key(0),
-                                                self.variant)
+        """prototxt_path is accepted for reference-call parity and unused
+        (graph structure is built in); caffemodel_path may be a raw
+        ``.caffemodel`` (parsed natively, models/caffemodel_io) or a
+        converted ``.npz``."""
+        if caffemodel_path and caffemodel_path.endswith(".caffemodel"):
+            from ..models.caffemodel_io import load_caffemodel
+            self.params = load_caffemodel(caffemodel_path, self.variant)
         else:
-            self.params = {k: jnp.asarray(v) for k, v in sd.items()}
+            sd = _load_checkpoint(caffemodel_path)
+            if sd is None:
+                self.params = caffe_net.init_params(jax.random.key(0),
+                                                    self.variant)
+            else:
+                self.params = {k: jnp.asarray(v) for k, v in sd.items()}
         self._make_click()
         self.net_set = True
 

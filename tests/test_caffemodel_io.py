@@ -86,3 +86,34 @@ def test_legacy_blob_dims():
     parsed = cio.parse_caffemodel(cio._len_field(100, layer))
     assert parsed["legacy"][0].shape == (1, 2, 3, 4)
     assert np.array_equal(parsed["legacy"][0], arr)
+
+
+def test_prep_net_loads_raw_caffemodel(tmp_path):
+    """The API accepts a raw .caffemodel directly (native parsing)."""
+    import numpy as np
+    from ideepcolor_tpu import api
+    ref_params = caffe_net.init_params(jax.random.key(9), "main")
+    layers = {}
+    for name, cin, cout, k, _d, kind in caffe_net._convs_for("main"):
+        w = np.asarray(ref_params[f"{name}.weight"])
+        blob = (w[::-1, ::-1].transpose(2, 3, 0, 1) if kind == "deconv"
+                else w.transpose(3, 2, 0, 1))
+        layers[name] = [np.ascontiguousarray(blob),
+                        np.asarray(ref_params[f"{name}.bias"])]
+    for name in caffe_net._bns_for("main"):
+        layers[name] = [np.asarray(ref_params[f"{name}.mean"]),
+                        np.asarray(ref_params[f"{name}.var"]),
+                        np.array([1.0], np.float32)]
+    layers["pred_ab"] = [np.array([100.0], np.float32)]
+    p = str(tmp_path / "model.caffemodel")
+    open(p, "wb").write(cio.encode_caffemodel(layers))
+
+    m = api.ColorizeImageJaxCaffe(Xd=32)
+    m.prep_net(0, "deploy.prototxt", p)
+    for k in ref_params:
+        assert np.allclose(np.asarray(m.params[k]),
+                           np.asarray(ref_params[k]), atol=1e-6), k
+    rng = np.random.default_rng(0)
+    m.set_image((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
+    assert out.shape == (32, 32, 3)
