@@ -196,12 +196,13 @@ class ColorizeImageBase:
         if out is None:
             return -1
         rgb, out_ab = out
-        out_hw = tuple(self.img_l_fullres.shape[1:])
-        full = P.fullres_fuse(self._dev_l_fullres, out_ab, out_hw)
+        H, W = self.img_l_fullres.shape[1:]
+        full = P.fullres_fuse_bucketed(
+            self._dev_l_fullres_pad, out_ab, self._dev_rh, self._dev_rw)
         self._dev_output_ab = out_ab
         self.output_rgb = np.asarray(rgb)
         self._set_out_ab_()
-        return self.output_rgb, np.asarray(full)
+        return self.output_rgb, np.asarray(full)[:H, :W]
 
     def _dispatch_click(self):
         """Dispatch the backend's dense click program (no readback);
@@ -233,15 +234,20 @@ class ColorizeImageBase:
                                  np.zeros((2, h, w), np.float32))
 
     def get_img_fullres(self):
-        out_hw = self.img_l_fullres.shape[1:]
-        return np.asarray(P.fullres_fuse(
-            self._dev_l_fullres, self._dev_output_ab, tuple(out_hw)))
+        return self._fullres_from_ab(self._dev_output_ab)
 
     def get_input_img_fullres(self):
-        out_hw = self.img_l_fullres.shape[1:]
-        ab = jnp.asarray(self.input_ab.transpose(1, 2, 0))
-        return np.asarray(P.fullres_fuse(self._dev_l_fullres, ab,
-                                         tuple(out_hw)))
+        return self._fullres_from_ab(
+            jnp.asarray(self.input_ab.transpose(1, 2, 0)))
+
+    def _fullres_from_ab(self, ab_dev):
+        """Bucketed full-res fusion: one compiled program per
+        (bucket, Xd) pair serves every image resolution (the interpolation
+        matrices are data); the padded frame is cropped host-side."""
+        H, W = self.img_l_fullres.shape[1:]
+        out = np.asarray(P.fullres_fuse_bucketed(
+            self._dev_l_fullres_pad, ab_dev, self._dev_rh, self._dev_rw))
+        return out[:H, :W]
 
     def get_input_img(self):
         return lab2rgb_transpose(self.img_l, self.input_ab)
@@ -285,6 +291,18 @@ class ColorizeImageBase:
         self.img_l_fullres = self.img_lab_fullres[[0]]
         self.img_ab_fullres = self.img_lab_fullres[1:]
         self._dev_l_fullres = jnp.asarray(lab[..., :1])
+        # bucketed full-res state: padded L plane + data interpolation
+        # matrices (one compiled fusion program per bucket, not per image)
+        from ..ops.resize import linear_resize_matrix_np
+        H, W = lab.shape[:2]
+        Hb, Wb = P.bucket_size(H), P.bucket_size(W)
+        l_pad = np.zeros((Hb, Wb, 1), np.float32)
+        l_pad[:H, :W] = lab[..., :1]
+        self._dev_l_fullres_pad = jnp.asarray(l_pad)
+        self._dev_rh = jnp.asarray(
+            linear_resize_matrix_np(self.Xd, H, Hb))
+        self._dev_rw = jnp.asarray(
+            linear_resize_matrix_np(self.Xd, W, Wb))
 
     def _set_img_lab_(self):
         rgb01 = _to_float01(self.img_rgb)

@@ -65,6 +65,27 @@ def fullres_fuse(img_l_fullres: jax.Array, ab_small: jax.Array,
     return compose_rgb_u8(img_l_fullres, ab_up)
 
 
+FULLRES_BUCKET = 256
+
+
+def bucket_size(n: int) -> int:
+    return ((n + FULLRES_BUCKET - 1) // FULLRES_BUCKET) * FULLRES_BUCKET
+
+
+@jax.jit
+def fullres_fuse_bucketed(l_padded: jax.Array, ab_small: jax.Array,
+                          rh: jax.Array, rw: jax.Array) -> jax.Array:
+    """Bucketed full-res reconstruction: interpolation matrices travel as
+    DATA (ops.resize.linear_resize_matrix_np padded to the bucket), so one
+    compiled program serves every image resolution within a bucket —
+    loading a new photo no longer recompiles the full-res path. The caller
+    crops the padded uint8 frame back to the true size.
+    """
+    from ..ops.resize import zoom_with_matrices
+    ab_up = zoom_with_matrices(ab_small, rh, rw)
+    return compose_rgb_u8(l_padded, ab_up)
+
+
 @partial(jax.jit, static_argnames=("out_hw", "order"))
 def zoom_planes(planes: jax.Array, out_hw: tuple[int, int],
                 order: int = 1) -> jax.Array:

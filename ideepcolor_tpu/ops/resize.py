@@ -86,6 +86,42 @@ def _linear_resize_matrix(n_in: int, n_out: int) -> jax.Array:
     return m
 
 
+def linear_resize_matrix_np(n_in: int, n_out: int,
+                            n_rows: int | None = None) -> "np.ndarray":
+    """Host-side align-corners interpolation matrix, optionally padded to
+    ``n_rows`` total rows (extra rows zero). Passing these matrices as
+    DATA lets one compiled resize program serve every output size within a
+    padded bucket (full-res shapes vary per image; recompiling a fused
+    program per photo costs ~15-25 s on a tunneled TPU)."""
+    import numpy as _np
+    n_rows = n_rows or n_out
+    m = _np.zeros((n_rows, n_in), _np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:n_out, 0] = 1.0
+        return m
+    c = _np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    i0 = _np.clip(_np.floor(c).astype(_np.int32), 0, n_in - 1)
+    i1 = _np.clip(i0 + 1, 0, n_in - 1)
+    w = (c - i0).astype(_np.float32)
+    rows = _np.arange(n_out)
+    _np.add.at(m, (rows, i0), 1.0 - w)
+    _np.add.at(m, (rows, i1), w)
+    return m
+
+
+@jax.jit
+def zoom_with_matrices(x: jax.Array, rh: jax.Array,
+                       rw: jax.Array) -> jax.Array:
+    """(..., h, w, C) resize with data interpolation matrices rh (H, h) /
+    rw (W, w) — one compiled program per (bucket, h, w) instead of per
+    exact output size."""
+    x = x.astype(jnp.float32)
+    y = jnp.einsum("Hh,...hwc->...Hwc", rh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Ww,...Hwc->...HWc", rw, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @partial(jax.jit, static_argnames=("out_hw",))
 def zoom_to_matmul(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Align-corners bilinear resize of (..., h, w, C) as two MXU matmuls.
