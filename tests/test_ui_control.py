@@ -103,3 +103,17 @@ def test_reset():
     assert len(c.userEdits) == 0 and c.ui_count == 0
     im, mask = c.get_input()
     assert mask.sum() == 0
+
+
+def test_update_color_after_select_then_table_reflects_it():
+    """Palette flow: add a point, reselect it, change its color — the
+    hint table must carry the new color's ab (ref ui/gui_draw.py:206-213)."""
+    c = _ctrl()
+    c.addPoint((100, 100), (255, 0, 0), (255, 0, 0), 6.0)
+    c.addPoint((101, 101), (0, 0, 255), (0, 0, 255), 6.0)   # reselect
+    assert len(c.userEdits) == 1
+    c.update_color((0, 255, 0), (0, 255, 0))
+    boxes, vals, n = c.hint_table()
+    assert n == 1
+    lab = lab_gamut.rgb2lab_1d(np.array([0, 255, 0], np.uint8))
+    assert np.allclose(vals[0], lab[1:], atol=1e-3)
