@@ -119,9 +119,9 @@ def save_train_state(path: str, state) -> None:
     flat = {"step": np.asarray(state["step"])}
     for k, v in state["params"].items():
         flat[f"params/{k}"] = np.asarray(v)
-    leaves, treedef = jax.tree.flatten(state["opt_state"])
-    flat["__optdef__"] = np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8)
+    # optimizer state flattens positionally; load_train_state rebuilds the
+    # tree structure from a fresh optimizer init (same TrainConfig)
+    leaves, _ = jax.tree.flatten(state["opt_state"])
     for i, leaf in enumerate(leaves):
         flat[f"opt/{i}"] = np.asarray(leaf)
     with ocp.StandardCheckpointer() as ckptr:
