@@ -1,1 +1,1 @@
-from . import colorspace_kernel  # noqa: F401
+from . import colorspace_kernel, hints_kernel  # noqa: F401
