@@ -238,3 +238,28 @@ def test_net_forward_fullres_matches_two_step(caffe_model):
     d.prep_net(path='')
     d.set_image(_rand_image(10, 64, 64))
     assert d.net_forward_fullres(ab, mask) == -1
+
+
+def test_alternate_resolution_xd128():
+    """No hidden Xd=256 hardcoding: full API pass at Xd=128 (both model
+    families, dist suggestion chain at Xd/4, full-res getters)."""
+    rng = np.random.default_rng(11)
+    img = (rng.random((200, 160, 3)) * 255).astype(np.uint8)
+    import cv2
+
+    m = api.ColorizeImageJaxCaffe(Xd=128)
+    m.prep_net(None)
+    m.set_image(cv2.resize(img, (128, 128)))
+    out = m.net_forward(np.zeros((2, 128, 128)), np.zeros((1, 128, 128)))
+    assert out.shape == (128, 128, 3)
+    assert m.get_img_fullres().shape == (128, 128, 3)
+
+    d = api.ColorizeImageJaxDist(Xd=128)
+    d.prep_net(path='')
+    d.set_image(cv2.resize(img, (128, 128)))
+    d.net_forward(np.zeros((2, 128, 128)), np.zeros((1, 128, 128)))
+    assert d.dist_ab.shape == (529, 128, 128)
+    c = d.get_ab_reccs(100, 30, K=4, N=2000)
+    assert c.shape == (4, 2)
+    d.compute_entropy()
+    assert d.dist_entropy.shape == (128, 128)
