@@ -92,3 +92,19 @@ def test_stage_timer():
     s = st.summary()
     assert s["forward"]["n"] == 3 and s["forward"]["p50_ms"] >= 0
     assert "forward" in st.report()
+
+
+def test_device_trace_smoke(tmp_path):
+    """jax.profiler wrapper produces a trace directory (observability)."""
+    import jax
+    import jax.numpy as jnp
+    from ideepcolor_tpu.utils.profiling import annotate, device_trace
+    f = jax.jit(lambda x: x * 2 + 1)
+    with device_trace(str(tmp_path)):
+        with annotate("stage"):
+            np.asarray(f(jnp.ones((64, 64))))
+    import os
+    found = []
+    for root, _dirs, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "no trace files written"
