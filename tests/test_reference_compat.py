@@ -58,3 +58,43 @@ def test_reference_gamut_imports():
     grid = lab_gamut.abGrid(gamut_size=110, D=1)
     rgb, m = grid.update_gamut(50.0)
     assert m.shape == (221, 221)
+
+
+def test_global_histogram_notebook_code_runs_verbatim():
+    """DemoGlobalHistogramTransfer's code pattern, reference imports
+    included (`import caffe`, blob stuffing, get_global_histogram)."""
+    ref_dir = "/root/reference/test_imgs/global_ref_bird"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference images unavailable")
+    sys.path.insert(0, REPO)
+
+    import caffe
+    from data import colorize_image as CI
+
+    Xd = 64
+    cid = CI.ColorizeImageCaffeGlobDist(Xd)
+    cid.prep_net(0, prototxt_path='./models/global_model/'
+                 'deploy_nodist.prototxt', caffemodel_path='')
+    gt_glob_net = caffe.Net('./models/global_model/global_stats.prototxt',
+                            './models/global_model/dummy.caffemodel',
+                            caffe.TEST)
+    cid.load_image(IMG)
+    input_ab = np.zeros((2, Xd, Xd))
+    input_mask = np.zeros((1, Xd, Xd))
+    img_pred_auto = cid.net_forward(input_ab, input_mask)
+
+    # notebook cell 9, verbatim shape flow
+    ref_path = os.path.join(ref_dir, sorted(os.listdir(ref_dir))[0])
+    ref_img_fullres = caffe.io.load_image(ref_path)
+    img_glob_dist = (255 * caffe.io.resize_image(
+        ref_img_fullres, (256, 256))).astype('uint8')
+    gt_glob_net.blobs['img_bgr'].data[...] = \
+        img_glob_dist[:, :, ::-1].transpose((2, 0, 1))
+    gt_glob_net.forward()
+    glob_dist_in = gt_glob_net.blobs['gt_glob_ab_313_drop'] \
+        .data[0, :-1, 0, 0].copy()
+
+    assert abs(glob_dist_in.sum() - 1) < 1e-4
+    img_pred = cid.net_forward(input_ab, input_mask, glob_dist_in)
+    assert img_pred.shape == (Xd, Xd, 3)
+    assert not np.array_equal(img_pred_auto, img_pred)
