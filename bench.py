@@ -241,7 +241,14 @@ def main():
     import jax
     extras = {}
     dev = jax.devices()[0]
-    p50, cm = bench_click_latency(extras)
+    try:
+        p50, cm = bench_click_latency(extras)
+    except Exception as e:
+        # never exit without the JSON line: degrade to the dense-path
+        # p50 if the table path failed mid-run, else report the failure
+        extras["headline_error"] = str(e)[:160]
+        p50 = extras.get("dense_path_p50_ms", -1.0)
+        cm = None
     for fn in (bench_throughput, bench_global_hints, bench_batch_fullres,
                bench_streaming):
         try:

@@ -79,6 +79,8 @@ class GUIDraw(QWidget):
         self.scale = win_size / float(load_size)
         self.image_file = None
         self.method = 'with_dist'
+        from ..utils.profiling import StageTimer
+        self.timer = StageTimer()      # per-stage click latency record
 
     # ---- image IO ----
     def init_result(self, image_file):
@@ -246,6 +248,8 @@ class GUIDraw(QWidget):
         # fast path: ship the 64-slot hint table, rasterize on device
         # (one fused program, ~1.8 KB upload); falls back to the dense
         # reference-parity path for backends without a table program.
+        self._t_click = self.timer.stage("click_to_frame")
+        self._t_click.__enter__()
         boxes, vals, n = self.uiControl.hint_table()
         out = self.model.net_forward_table(boxes, vals, n)
         if np.isscalar(out) and out == -1:
@@ -269,6 +273,7 @@ class GUIDraw(QWidget):
             self.result = lab2rgb_transpose(
                 self.l_win[None], ab_win.transpose(2, 0, 1))
         self.update_result.emit(self.result)
+        self._t_click.__exit__(None, None, None)
         self.update()
 
     def save_result(self):
@@ -605,6 +610,8 @@ class GUIDesign(QMainWindow):
 
     def save(self):
         print('time spent = %s' % (datetime.datetime.now() - self.start_t))
+        if self.drawWidget.timer.samples:
+            print(self.drawWidget.timer.report())
         self.drawWidget.save_result()
 
     def load(self):
@@ -612,6 +619,8 @@ class GUIDesign(QMainWindow):
 
     def quit(self):
         print('time spent = %s' % (datetime.datetime.now() - self.start_t))
+        if self.drawWidget.timer.samples:
+            print(self.drawWidget.timer.report())
         QApplication.quit()
 
     def keyPressEvent(self, event):
