@@ -44,10 +44,11 @@ class StreamingSession:
     """Pipelined hint-persistent colorization of an L-frame stream.
 
     ``submit(l_frame)`` dispatches asynchronously and returns the OLDEST
-    completed frame once the pipeline is primed (depth-1 by default), so
-    steady-state throughput is bounded by device time, not round-trip
-    latency. ``set_hints`` swaps the persistent hint tensors between
-    frames without recompilation.
+    completed frame once the pipeline is primed (``depth`` frames in
+    flight, default 4), so steady-state throughput is bounded by device
+    time, not round-trip latency. ``set_hints`` swaps the persistent hint
+    tensors between frames without recompilation. Single-consumer: call
+    ``submit``/``drain`` from one thread.
     """
 
     def __init__(self, params, size: int = 256, maskcent: float = 0.0,
