@@ -263,3 +263,29 @@ def test_alternate_resolution_xd128():
     assert c.shape == (4, 2)
     d.compute_entropy()
     assert d.dist_entropy.shape == (128, 128)
+
+
+def test_sequential_images_different_resolutions():
+    """Loading a new image with a different full-res shape must refresh
+    all device-side state (bucketed matrices, L planes)."""
+    import cv2
+    rng = np.random.default_rng(13)
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
+    for h, w in ((150, 200), (310, 170), (64, 64)):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        m.set_image(cv2.resize(img, (64, 64))) if (h, w) == (64, 64) else None
+        if (h, w) != (64, 64):
+            # go through load_image for full-res handling
+            import tempfile, os
+            fd, p = tempfile.mkstemp(suffix=".png")
+            os.close(fd)
+            cv2.imwrite(p, img[:, :, ::-1])
+            m.load_image(p)
+            os.unlink(p)
+        out = m.net_forward(ab, mask)
+        assert out.shape == (64, 64, 3)
+        full = m.get_img_fullres()
+        assert full.shape == m.img_rgb_fullres.shape
+        assert m.get_input_img_fullres().shape == full.shape
