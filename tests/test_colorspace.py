@@ -59,3 +59,14 @@ def test_lab2rgb_transpose_layout():
     lab = np.concatenate([l, ab], 0).transpose(1, 2, 0)
     want = (ref.lab2rgb(lab.astype(np.float64)) * 255).astype(np.uint8)
     assert np.mean(np.abs(out.astype(int) - want.astype(int))) < 0.01
+
+
+def test_requantized_ab_matches_reference_convention():
+    """output_ab is re-derived from the quantized uint8 frame
+    (ref data/colorize_image.py:196-198)."""
+    from ideepcolor_tpu.engine.pipeline import requantized_ab
+    import jax.numpy as jnp
+    rgb_u8 = (RNG.random((16, 16, 3)) * 255).astype(np.uint8)
+    got = np.asarray(requantized_ab(jnp.asarray(rgb_u8)))
+    want = ref.rgb2lab(rgb_u8.astype(np.float64) / 255.0)[..., 1:]
+    assert np.max(np.abs(got - want)) < 1e-3

@@ -60,3 +60,14 @@ def test_bilinear_up2_fixed_matches_torch_deconv():
     want = deconv(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy()
     want = want.transpose(0, 2, 3, 1)
     assert np.max(np.abs(out - want)) < 1e-5
+
+
+def test_resize_half_pixel_matches_cv2_linear():
+    """cv2.INTER_LINEAR is half-pixel bilinear without antialias; the
+    device equivalent must match closely (used for Xd-input resize)."""
+    import cv2
+    x = (RNG.random((40, 56, 3)) * 255).astype(np.float32)
+    got = np.asarray(resize.resize_half_pixel(x, (96, 128)))
+    want = cv2.resize(x, (128, 96), interpolation=cv2.INTER_LINEAR)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 0.51   # cv2 uses fixed-point interp
