@@ -162,6 +162,32 @@ def bench_throughput(cm, extras):
         N / (time.perf_counter() - t0), 1)
 
 
+def bench_batched_serving(extras):
+    """Batched hint-conditioned serving throughput (batch 16, bfloat16)."""
+    import jax
+    import jax.numpy as jnp
+    from ideepcolor_tpu.engine.batch import batch_forward_frames
+    from ideepcolor_tpu.models import siggraph
+    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16),
+                          siggraph.init_params(jax.random.key(0)))
+    rng = np.random.default_rng(4)
+    N = 16
+    l = jnp.asarray(rng.uniform(-50, 50, (N, 256, 256, 1))
+                    .astype(np.float32))
+    hab = jnp.zeros((N, 256, 256, 2))
+    hm = jnp.zeros((N, 256, 256, 1))
+    run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
+                                       jnp.float32(0.0))
+    _sync(run()[0])
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps - 1):
+        run()
+    _sync(run()[0])
+    dt = (time.perf_counter() - t0) / reps
+    extras["batch16_bf16_imgs_per_sec"] = round(N / dt, 1)
+
+
 def bench_global_hints(extras):
     """Config 3: global histogram transfer."""
     from ideepcolor_tpu import api
@@ -249,8 +275,8 @@ def main():
         extras["headline_error"] = str(e)[:160]
         p50 = extras.get("dense_path_p50_ms", -1.0)
         cm = None
-    for fn in (bench_throughput, bench_global_hints, bench_batch_fullres,
-               bench_streaming):
+    for fn in (bench_throughput, bench_batched_serving, bench_global_hints,
+               bench_batch_fullres, bench_streaming):
         try:
             fn(cm, extras) if fn is bench_throughput else fn(extras)
         except Exception as e:  # keep the headline even if a config fails
