@@ -60,6 +60,48 @@ def batch_forward_frames(params, l_mc: jax.Array, hint_ab: jax.Array,
     return rgb, ab
 
 
+def colorize_batch(params, images_rgb, hint_ab=None, hint_mask=None,
+                   maskcent: float = 0.0, mesh=None):
+    """Convenience batched serving: uint8 RGB images in, colorized uint8
+    frames out.
+
+    images_rgb: (N, S, S, 3) uint8 or float [0,1]; optional dense hints
+    (N, S, S, 2)/(N, S, S, 1). With ``mesh``, the batch shards over its
+    'data' axis. The grayscale L is extracted on device; hints default to
+    zero (automatic colorization).
+    """
+    import numpy as np
+    from ..ops import colorspace as cs
+
+    imgs = jnp.asarray(np.asarray(images_rgb))
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    n, s = imgs.shape[0], imgs.shape[1]
+    if hint_ab is None:
+        hint_ab = jnp.zeros((n, s, s, 2), jnp.float32)
+    if hint_mask is None:
+        hint_mask = jnp.zeros((n, s, s, 1), jnp.float32)
+    hint_ab = jnp.asarray(hint_ab, jnp.float32)
+    hint_mask = jnp.asarray(hint_mask, jnp.float32)
+
+    @jax.jit
+    def prep(x):
+        return cs.rgb_to_lab(x)[..., :1] - 50.0
+
+    l_mc = prep(imgs)
+    mc = jnp.float32(maskcent)
+    if mesh is not None:
+        fn, place = make_sharded_batch_forward(mesh)
+        with mesh:
+            l_mc, hint_ab, hint_mask = place(l_mc, hint_ab, hint_mask)
+            rgb, _ab = fn(params, l_mc, hint_ab, hint_mask, mc)
+    else:
+        rgb, _ab = batch_forward_frames(params, l_mc, hint_ab, hint_mask,
+                                        mc)
+    import numpy as _np
+    return _np.asarray(rgb)
+
+
 def make_sharded_batch_forward(mesh):
     """DP-sharded batched forward over a mesh: inputs sharded on 'data',
     params replicated. Returns (fn, place_batch) helpers."""

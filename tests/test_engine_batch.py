@@ -87,3 +87,14 @@ def test_streaming_hint_swap_changes_output():
     sess.submit(frame)
     out2, _ = sess.submit(frame)
     assert not np.array_equal(out1, out2)
+
+
+def test_colorize_batch_convenience():
+    params = siggraph.init_params(jax.random.key(3))
+    imgs = (RNG.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    out = eb.colorize_batch(params, imgs)
+    assert out.shape == (4, 32, 32, 3) and out.dtype == np.uint8
+    # with a mesh
+    mesh = pmesh.make_mesh(4, model_parallel=1)
+    out_m = eb.colorize_batch(params, imgs, mesh=mesh)
+    assert np.mean(out_m.astype(int) != out.astype(int)) < 0.01
