@@ -1,0 +1,161 @@
+"""Headless tests of the REAL GUI logic (ui/qt_gui.py) under a fake Qt.
+
+Covers the click -> snap -> hint -> fused forward -> window frame flow,
+erase, palette color set, suggestions, reset and session save — the
+largest product surface the unit suite otherwise can't reach (no PyQt5
+in this image).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _fake_qt
+
+IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(IMG),
+                                reason="test image unavailable")
+
+
+@pytest.fixture(scope="module")
+def gui():
+    try:
+        import PyQt5  # noqa: F401
+        pytest.skip("real PyQt5 present; fake-Qt harness not applicable")
+    except ImportError:
+        pass
+    _fake_qt.install()
+    from ideepcolor_tpu import api
+    from ideepcolor_tpu.ui import qt_gui
+
+    model = api.ColorizeImageJaxCaffe(Xd=64)
+    model.prep_net(None)
+    dist = api.ColorizeImageJaxCaffeDist(Xd=64)
+    dist.prep_net(None)
+    draw = qt_gui.GUIDraw(model, dist_model=dist, load_size=64,
+                          win_size=256)
+    draw.init_result(IMG)
+    return qt_gui, draw
+
+
+def test_image_loaded_and_initial_result(gui):
+    qt_gui, draw = gui
+    assert draw.image_loaded
+    assert draw.result is not None
+    assert draw.result.shape == (draw.win_h, draw.win_w, 3)
+    assert draw.result.dtype == np.uint8
+
+
+def test_click_adds_hint_and_updates_frame(gui):
+    qt_gui, draw = gui
+    before = draw.result.copy()
+    ev = _fake_qt._Event(128, 128, _fake_qt.Qt.LeftButton)
+    draw.user_color = (200, 40, 40)
+    draw.mousePressEvent(ev)
+    assert len(draw.uiControl.userEdits) == 1
+    assert not np.array_equal(before, draw.result)
+    # hint mirrors populated for save_result
+    assert draw.im_mask0.sum() > 0
+
+
+def test_drag_moves_point(gui):
+    qt_gui, draw = gui
+    ev = _fake_qt._Event(140, 140)
+    draw.mouseMoveEvent(ev)
+    assert len(draw.uiControl.userEdits) == 1
+    assert draw.uiControl.userEdits[0].pnt == (140, 140)
+
+
+def test_suggestions_and_gamut_signals(gui):
+    qt_gui, draw = gui
+    got = {}
+    draw.update_gamut.connect(lambda L: got.setdefault("L", L))
+    draw.suggest_colors.connect(lambda c: got.setdefault("colors", c))
+    draw.change_color(_fake_qt.QPoint(128, 128))
+    assert 0 <= got["L"] <= 100
+    assert got["colors"].shape[1] == 3 and got["colors"].shape[0] == 10
+
+
+def test_set_color_from_palette(gui):
+    qt_gui, draw = gui
+    before = draw.result.copy()
+    draw.pos = _fake_qt.QPoint(140, 140)
+    draw.set_color((30, 180, 60))
+    assert not np.array_equal(before, draw.result)
+
+
+def test_erase_removes_point(gui):
+    qt_gui, draw = gui
+    ev = _fake_qt._Event(140, 140, _fake_qt.Qt.RightButton)
+    draw.mousePressEvent(ev)
+    assert len(draw.uiControl.userEdits) == 0
+
+
+def test_wheel_changes_brush(gui):
+    qt_gui, draw = gui
+    b0 = draw.brushWidth
+    draw.ui_mode = 'none'
+    draw.wheelEvent(_fake_qt._Event(0, 0, delta=120))
+    assert draw.brushWidth != b0
+
+
+def test_save_result_writes_reference_format(gui, tmp_path):
+    import shutil
+    qt_gui, draw = gui
+    # add a point so mirrors are non-trivial
+    draw.mousePressEvent(_fake_qt._Event(100, 100, _fake_qt.Qt.LeftButton))
+    local = tmp_path / "img.jpg"
+    shutil.copy(IMG, local)
+    draw.image_file = str(local)
+    draw.save_result()
+    dirs = [d for d in os.listdir(tmp_path) if d.startswith("img_")]
+    assert len(dirs) == 1
+    inside = os.listdir(tmp_path / dirs[0])
+    for f in ("im_l.npy", "im_ab.npy", "im_mask.npy", "ours.png",
+              "ours_fullres.png", "input_fullres.png", "input.png",
+              "input_ab.png", "input_mask.png"):
+        assert f in inside, f
+    assert draw.timer.samples          # click latency was recorded
+
+
+def test_reset_clears_everything(gui):
+    qt_gui, draw = gui
+    draw.reset()
+    assert len(draw.uiControl.userEdits) == 0
+
+
+def test_full_window_signal_wiring(gui):
+    """GUIDesign wiring: a pad click must flow into the gamut widget and
+    the suggestion palette; a palette pick must recolor (ref
+    ui/gui_design.py:81-100 signal graph)."""
+    qt_gui, _draw = gui
+    from ideepcolor_tpu import api
+    model = api.ColorizeImageJaxCaffe(Xd=64)
+    model.prep_net(None)
+    dist = api.ColorizeImageJaxCaffeDist(Xd=64)
+    dist.prep_net(None)
+    win = qt_gui.GUIDesign(model, dist_model=dist, img_file=IMG,
+                           load_size=64, win_size=256)
+    draw = win.drawWidget
+    draw.mousePressEvent(_fake_qt._Event(128, 128, _fake_qt.Qt.LeftButton))
+    # gamut widget received the clicked pixel's L and built its mask
+    assert win.gamutWidget.mask is not None
+    assert win.gamutWidget.mask.shape == (221, 221)
+    # suggestion palette received K=9+current colors
+    assert win.customPalette.colors is not None
+    assert win.customPalette.colors.shape == (10, 3)
+    # picking a gamut color recolors through the signal chain
+    before = draw.result.copy()
+    win.gamutWidget.update_ui(_fake_qt.QPoint(110, 150))
+    assert not np.array_equal(before, draw.result)
+    # result pane got the frame
+    assert win.visWidget.result is not None
+    # hotkey reset clears edits
+    class _K:
+        def key(self):
+            return _fake_qt.Qt.Key_R
+    win.keyPressEvent(_K())
+    assert len(draw.uiControl.userEdits) == 0
