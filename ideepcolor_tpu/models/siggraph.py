@@ -145,9 +145,7 @@ def _block(params: Params, name: str, x: jax.Array,
                 or name.startswith(("model3short", "model2short",
                                     "model1short")):
             pass                       # bare conv; caller handles activation
-        elif not (is_last and bn_idx is None):
-            x = L.relu(x)
-        elif is_last and bn_idx is None:
+        else:
             x = L.relu(x)
     if bn_idx is not None:
         x = L.batchnorm(
