@@ -372,10 +372,12 @@ class ColorizeImageJax(ColorizeImageBase):
         sd = _load_checkpoint(path)
         if sd is None:
             self.params = siggraph.init_params(jax.random.key(0))
-        elif any(k.startswith("model1.") for k in sd):
-            self.params = siggraph.from_torch_state_dict(sd)
-        else:
+        elif np.asarray(sd["model1.0.weight"]).shape[-1] == 64:
+            # already-converted params (HWIO: kernel dims lead, out=64 last)
             self.params = {k: jnp.asarray(v) for k, v in sd.items()}
+        else:
+            # raw torch state dict (OIHW) -> convert layouts
+            self.params = siggraph.from_torch_state_dict(sd)
         self.dist = dist
         if not dist:
             # hints travel as one (H,W,3) array = ab_mc + mask (a single

@@ -1,0 +1,72 @@
+"""End-to-end tests of scripts/convert_checkpoint.py with synthetic
+checkpoints in both source formats."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "convert_checkpoint.py")
+
+
+def _run(args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable, SCRIPT] + args, env=env,
+                          capture_output=True, text=True, timeout=300,
+                          cwd=REPO)
+
+
+def test_convert_torch_pth(tmp_path):
+    import torch
+    import importlib.util
+    ref = "/root/reference/models/pytorch/model.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference model def unavailable")
+    spec = importlib.util.spec_from_file_location("rsg", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    net = mod.SIGGRAPHGenerator(dist=False)
+    src = str(tmp_path / "pytorch.pth")
+    torch.save(net.state_dict(), src)
+    dst = str(tmp_path / "siggraph.npz")
+    r = _run([src, dst])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(dst)
+
+    # converted weights load through the API and run
+    from ideepcolor_tpu import api
+    m = api.ColorizeImageJax(Xd=32)
+    m.prep_net(path=dst)
+    rng = np.random.default_rng(0)
+    m.set_image((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
+    assert out.shape == (32, 32, 3)
+
+
+def test_convert_caffemodel(tmp_path):
+    from ideepcolor_tpu.models import caffe_net, caffemodel_io as cio
+    ref_params = caffe_net.init_params(jax.random.key(1), "main")
+    layers = {}
+    for name, cin, cout, k, _d, kind in caffe_net._convs_for("main"):
+        w = np.asarray(ref_params[f"{name}.weight"])
+        blob = (w[::-1, ::-1].transpose(2, 3, 0, 1) if kind == "deconv"
+                else w.transpose(3, 2, 0, 1))
+        layers[name] = [np.ascontiguousarray(blob),
+                        np.asarray(ref_params[f"{name}.bias"])]
+    for name in caffe_net._bns_for("main"):
+        layers[name] = [np.asarray(ref_params[f"{name}.mean"]),
+                        np.asarray(ref_params[f"{name}.var"]),
+                        np.array([1.0], np.float32)]
+    src = str(tmp_path / "model.caffemodel")
+    open(src, "wb").write(cio.encode_caffemodel(layers))
+    dst = str(tmp_path / "caffe_main.npz")
+    r = _run([src, dst, "--variant", "main"])
+    assert r.returncode == 0, r.stderr[-500:]
+    loaded = dict(np.load(dst))
+    assert np.allclose(loaded["conv1_2.weight"],
+                       np.asarray(ref_params["conv1_2.weight"]), atol=1e-6)
