@@ -63,6 +63,10 @@ def _to_float01(img) -> np.ndarray:
 def _load_checkpoint(path: str) -> dict | None:
     if not path:
         return None
+    import os
+    if os.path.isdir(path):                 # orbax checkpoint directory
+        from ..utils.session import load_params_orbax
+        return {k: np.asarray(v) for k, v in load_params_orbax(path).items()}
     if path.endswith(".npz"):
         return dict(np.load(path))
     if path.endswith((".pth", ".pt")):

@@ -70,3 +70,30 @@ def test_convert_caffemodel(tmp_path):
     loaded = dict(np.load(dst))
     assert np.allclose(loaded["conv1_2.weight"],
                        np.asarray(ref_params["conv1_2.weight"]), atol=1e-6)
+
+
+def test_convert_torch_pth_to_orbax_and_load(tmp_path):
+    import torch
+    import importlib.util
+    ref = "/root/reference/models/pytorch/model.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference model def unavailable")
+    spec = importlib.util.spec_from_file_location("rsg2", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(1)
+    net = mod.SIGGRAPHGenerator(dist=False)
+    src = str(tmp_path / "w.pth")
+    torch.save(net.state_dict(), src)
+    dst = str(tmp_path / "orbax_ckpt")
+    r = _run([src, dst, "--orbax"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.isdir(dst)
+
+    from ideepcolor_tpu import api
+    m = api.ColorizeImageJax(Xd=32)
+    m.prep_net(path=dst)              # orbax directory loads directly
+    rng = np.random.default_rng(1)
+    m.set_image((rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
+    assert out.shape == (32, 32, 3)
