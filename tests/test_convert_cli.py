@@ -1,7 +1,8 @@
 """End-to-end tests of scripts/convert_checkpoint.py with synthetic
-checkpoints in both source formats."""
+checkpoints in both source formats (run in-process: a subprocess per
+invocation would re-pay torch+jax startup, ~2 min each)."""
+import importlib.util
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -13,11 +14,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "convert_checkpoint.py")
 
 
+class _Result:
+    def __init__(self, rc):
+        self.returncode = rc
+        self.stderr = ""
+
+
 def _run(args):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    return subprocess.run([sys.executable, SCRIPT] + args, env=env,
-                          capture_output=True, text=True, timeout=300,
-                          cwd=REPO)
+    spec = importlib.util.spec_from_file_location("convert_cli", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return _Result(mod.main(args))
 
 
 def test_convert_torch_pth(tmp_path):
