@@ -31,13 +31,11 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
     n, h, w, _ = gt_ab.shape
     k_alive, k_loc, k_size = jax.random.split(key, 3)
 
-    # geometric-ish: slot i alive iff all of the first i coin flips continue
+    # Geometric(p_keep) hint count, capped at MAX_POINTS: slot i is alive
+    # iff the first i+1 'continue' coins all succeed, so P(0 hints) =
+    # p_keep (the recipe trains the automatic-colorization case too).
     cont = jax.random.uniform(k_alive, (n, MAX_POINTS)) > p_keep
     alive = jnp.cumprod(cont, axis=1).astype(bool)
-    alive = alive.at[:, 0].set(True)        # always at least the first point?
-    # the recipe also trains with zero hints; drop all slots for ~1/8 of
-    # the batch by reusing the last coin
-    alive = alive & cont[:, -1:]
 
     loc = jax.random.normal(k_loc, (n, MAX_POINTS, 2))
     loc = jnp.stack([
