@@ -183,6 +183,36 @@ class ColorizeImageBase:
         self._set_out_ab_()
         return self.output_rgb
 
+    def net_forward_table_win(self, boxes, values, count,
+                              l_win_pad, rh, rw):
+        """Table click that also returns the window-size display frame in
+        the SAME dispatch (saves one round trip per GUI click).
+
+        l_win_pad (Hb, Wb, 1) device array of window L padded to a bucket;
+        rh (Hb, Xd) / rw (Wb, Xd) data interpolation matrices. Returns
+        (frame_256, win_frame_padded); the GUI crops to (win_h, win_w).
+        """
+        if not self.img_l_set or not self.net_set:
+            return -1
+        click = getattr(self, "_click_tbl_win", None)
+        if click is None:
+            return -1
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        rgb, out_ab, win = click(
+            self._dev_l_net, self._dev_l_mc, l_win_pad, rh, rw,
+            self.params, jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(values, jnp.float32), jnp.int32(count))
+        self._dev_output_ab = out_ab
+        self.output_rgb = np.asarray(rgb)
+        self._set_out_ab_()
+        return self.output_rgb, np.asarray(win)
+
     def net_forward_fullres(self, input_ab, input_mask):
         """Forward + full-res reconstruction in ONE device dispatch.
 
@@ -399,6 +429,8 @@ class ColorizeImageJax(ColorizeImageBase):
                                       dist=False)
 
             self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
+            self._click_tbl_win = P.make_table_click_win_program(
+                fwd_tbl, self.Xd)
         self.net_set = True
 
     def net_forward(self, input_ab, input_mask):
@@ -553,6 +585,8 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
             return caffe_net.apply_main(params, blob)
 
         self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
+        self._click_tbl_win = P.make_table_click_win_program(
+            fwd_tbl, self.Xd)
 
     def net_forward(self, input_ab, input_mask):
         if super().net_forward(input_ab, input_mask) == -1:

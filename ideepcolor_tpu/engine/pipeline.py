@@ -149,6 +149,31 @@ def make_table_click_program(apply_fn, size: int):
     return click
 
 
+def make_table_click_win_program(apply_fn, size: int):
+    """Table click that ALSO composes the GUI's window-size frame.
+
+    Same as make_table_click_program plus a bucketed matrix-resize of the
+    requantized output ab fused with a padded window-size L plane — the
+    display frame leaves in the same dispatch instead of a second round
+    trip. rh (Hb, size) / rw (Wb, size) are data interpolation matrices
+    (ops.resize.linear_resize_matrix_np), l_win_pad is (Hb, Wb, 1).
+    """
+    from ..ops.hints import rasterize_hints
+    from ..ops.resize import zoom_with_matrices
+
+    @jax.jit
+    def click(l_net, l_mc, l_win_pad, rh, rw, params, boxes, values, count):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        pred = apply_fn(params, l_mc, ab[None], mask[None])[0]
+        rgb = compose_rgb_u8(l_net, pred)
+        out_ab = requantized_ab(rgb)
+        win_ab = zoom_with_matrices(out_ab, rh, rw)
+        win = compose_rgb_u8(l_win_pad, win_ab)
+        return rgb, out_ab, win
+
+    return click
+
+
 def make_click_program(apply_fn):
     """Build the fused one-dispatch click program for a model family.
 

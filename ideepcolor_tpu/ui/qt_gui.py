@@ -135,10 +135,25 @@ class GUIDraw(QWidget):
             cv2.cvtColor(self.im_win, cv2.COLOR_BGR2RGB))[0]
         # device-resident window-size L plane: the per-click window frame
         # is composed on device (upsample + L-fusion + lab2rgb in one
-        # program) instead of cv2+host colorspace per click
+        # program) instead of cv2+host colorspace per click; padded to a
+        # 128-bucket + data interpolation matrices so the fused
+        # click+window program compiles once per bucket, and the window
+        # frame returns in the SAME dispatch as the forward
         import jax.numpy as jnp
+        from ..engine import pipeline as P
+        from ..ops.resize import linear_resize_matrix_np
         self._dev_l_win = jnp.asarray(self.l_win[..., None]
                                       .astype(np.float32))
+        bucket = 128
+        hb = -(-rh // bucket) * bucket
+        wb = -(-rw // bucket) * bucket
+        l_pad = np.zeros((hb, wb, 1), np.float32)
+        l_pad[:rh, :rw, 0] = self.l_win
+        self._dev_l_win_pad = jnp.asarray(l_pad)
+        self._dev_win_rh = jnp.asarray(
+            linear_resize_matrix_np(self.load_size, rh, hb))
+        self._dev_win_rw = jnp.asarray(
+            linear_resize_matrix_np(self.load_size, rw, wb))
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
@@ -251,6 +266,19 @@ class GUIDraw(QWidget):
         self._t_click = self.timer.stage("click_to_frame")
         self._t_click.__enter__()
         boxes, vals, n = self.uiControl.hint_table()
+        # fused click+window program: both frames in one dispatch
+        out = self.model.net_forward_table_win(
+            boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
+            self._dev_win_rw)
+        if not (np.isscalar(out) and out == -1):
+            _frame, win = out
+            self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
+            self.im_ab0 = self.model.input_ab
+            self.im_mask0 = self.model.input_mask
+            self.update_result.emit(self.result)
+            self._t_click.__exit__(None, None, None)
+            self.update()
+            return
         out = self.model.net_forward_table(boxes, vals, n)
         if np.isscalar(out) and out == -1:
             im, mask = self.uiControl.get_input()

@@ -289,3 +289,36 @@ def test_sequential_images_different_resolutions():
         full = m.get_img_fullres()
         assert full.shape == m.img_rgb_fullres.shape
         assert m.get_input_img_fullres().shape == full.shape
+
+
+def test_table_win_click_matches_separate_paths():
+    """The fused click+window program must match net_forward_table plus a
+    separate bucketed window fusion."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.engine import pipeline as P
+    from ideepcolor_tpu.ops import hints as oh
+    from ideepcolor_tpu.ops.resize import linear_resize_matrix_np
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    m.set_image(_rand_image(15, 64, 64))
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [20, 20, 24, 24]; vals[0] = [35.0, -25.0]
+
+    win_h, win_w = 100, 120
+    hb, wb = 128, 128
+    rng = np.random.default_rng(16)
+    l_win = rng.uniform(0, 100, (win_h, win_w)).astype(np.float32)
+    l_pad = np.zeros((hb, wb, 1), np.float32)
+    l_pad[:win_h, :win_w, 0] = l_win
+    rh = jnp.asarray(linear_resize_matrix_np(64, win_h, hb))
+    rw = jnp.asarray(linear_resize_matrix_np(64, win_w, wb))
+
+    frame, win = m.net_forward_table_win(boxes, vals, 1,
+                                         jnp.asarray(l_pad), rh, rw)
+    frame_ref = m.net_forward_table(boxes, vals, 1)
+    assert np.array_equal(frame, frame_ref)
+    want_win = np.asarray(P.fullres_fuse_bucketed(
+        jnp.asarray(l_pad), m._dev_output_ab, rh, rw))
+    assert np.array_equal(win, want_win)
+    assert win.shape == (hb, wb, 3)
