@@ -291,23 +291,23 @@ class ColorizeImageBase:
                                  np.zeros((2, self.Xd, self.Xd), np.float32))
 
     def get_img_mask_fullres(self):
-        out_hw = tuple(self.img_l_fullres.shape[1:])
-        mask = P.zoom_planes(
-            jnp.asarray(self.input_mask.transpose(1, 2, 0)), out_hw, order=0)
-        l = 100.0 * (1 - mask)
-        zeros = jnp.zeros(out_hw + (2,), jnp.float32)
-        return np.asarray(P.compose_rgb_u8(l, zeros))
+        H, W = self.img_l_fullres.shape[1:]
+        out = np.asarray(P.mask_fullres_bucketed(
+            jnp.asarray(self.input_mask.transpose(1, 2, 0)),
+            self._dev_rh0, self._dev_rw0))
+        return out[:H, :W]
 
     def get_sup_img(self):
         return lab2rgb_transpose(50 * self.input_mask, self.input_ab)
 
     def get_sup_fullres(self):
-        out_hw = tuple(self.img_l_fullres.shape[1:])
+        H, W = self.img_l_fullres.shape[1:]
         planes = jnp.asarray(
             np.concatenate([self.input_mask, self.input_ab], 0)
             .transpose(1, 2, 0))
-        up = P.zoom_planes(planes, out_hw, order=0)
-        return np.asarray(P.compose_rgb_u8(50 * up[..., :1], up[..., 1:]))
+        out = np.asarray(P.sup_fullres_bucketed(planes, self._dev_rh0,
+                                                self._dev_rw0))
+        return out[:H, :W]
 
     # ----- private -----
     def _set_img_lab_fullres_(self):
@@ -327,7 +327,8 @@ class ColorizeImageBase:
         self._dev_l_fullres = jnp.asarray(lab[..., :1])
         # bucketed full-res state: padded L plane + data interpolation
         # matrices (one compiled fusion program per bucket, not per image)
-        from ..ops.resize import linear_resize_matrix_np
+        from ..ops.resize import (linear_resize_matrix_np,
+                                  nearest_resize_matrix_np)
         H, W = lab.shape[:2]
         Hb, Wb = P.bucket_size(H), P.bucket_size(W)
         l_pad = np.zeros((Hb, Wb, 1), np.float32)
@@ -337,6 +338,10 @@ class ColorizeImageBase:
             linear_resize_matrix_np(self.Xd, H, Hb))
         self._dev_rw = jnp.asarray(
             linear_resize_matrix_np(self.Xd, W, Wb))
+        self._dev_rh0 = jnp.asarray(
+            nearest_resize_matrix_np(self.Xd, H, Hb))
+        self._dev_rw0 = jnp.asarray(
+            nearest_resize_matrix_np(self.Xd, W, Wb))
 
     def _set_img_lab_(self):
         rgb01 = _to_float01(self.img_rgb)

@@ -86,6 +86,29 @@ def fullres_fuse_bucketed(l_padded: jax.Array, ab_small: jax.Array,
     return compose_rgb_u8(l_padded, ab_up)
 
 
+@jax.jit
+def mask_fullres_bucketed(mask: jax.Array, rh0: jax.Array,
+                          rw0: jax.Array) -> jax.Array:
+    """Bucketed get_img_mask_fullres: nearest-upsample the (h,w,1) mask
+    with 0/1 data matrices, render 100*(1-mask) as L
+    (ref data/colorize_image.py:145-149). Caller crops the pad."""
+    from ..ops.resize import zoom_with_matrices
+    up = zoom_with_matrices(mask, rh0, rw0)
+    l = 100.0 * (1.0 - up)
+    return compose_rgb_u8(l, jnp.zeros(l.shape[:2] + (2,), jnp.float32))
+
+
+@jax.jit
+def sup_fullres_bucketed(planes: jax.Array, rh0: jax.Array,
+                         rw0: jax.Array) -> jax.Array:
+    """Bucketed get_sup_fullres: nearest-upsample (h,w,3)=[mask, ab],
+    render 50*mask as L with the hint ab (ref data/
+    colorize_image.py:154-158). Caller crops the pad."""
+    from ..ops.resize import zoom_with_matrices
+    up = zoom_with_matrices(planes, rh0, rw0)
+    return compose_rgb_u8(50.0 * up[..., :1], up[..., 1:])
+
+
 @partial(jax.jit, static_argnames=("out_hw", "order"))
 def zoom_planes(planes: jax.Array, out_hw: tuple[int, int],
                 order: int = 1) -> jax.Array:

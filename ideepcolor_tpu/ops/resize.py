@@ -109,6 +109,22 @@ def linear_resize_matrix_np(n_in: int, n_out: int,
     return m
 
 
+def nearest_resize_matrix_np(n_in: int, n_out: int,
+                             n_rows: int | None = None) -> "np.ndarray":
+    """Host-side align-corners NEAREST matrix (scipy zoom order=0
+    semantics: round half up), optionally padded to n_rows."""
+    import numpy as _np
+    n_rows = n_rows or n_out
+    m = _np.zeros((n_rows, n_in), _np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:n_out, 0] = 1.0
+        return m
+    c = _np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    idx = _np.clip(_np.floor(c + 0.5).astype(_np.int32), 0, n_in - 1)
+    m[_np.arange(n_out), idx] = 1.0
+    return m
+
+
 @jax.jit
 def zoom_with_matrices(x: jax.Array, rh: jax.Array,
                        rw: jax.Array) -> jax.Array:
