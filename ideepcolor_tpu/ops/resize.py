@@ -125,6 +125,39 @@ def nearest_resize_matrix_np(n_in: int, n_out: int,
     return m
 
 
+def cubic_resize_matrix_np(n_in: int, n_out: int,
+                           n_rows: int | None = None) -> "np.ndarray":
+    """Host-side cv2.INTER_CUBIC interpolation matrix (half-pixel centers,
+    Catmull-Rom-style kernel with A=-0.75, replicated borders), optionally
+    padded to ``n_rows``.
+
+    Bicubic resampling is separable-linear, so the same
+    ``zoom_with_matrices`` device program serves it — the GUI's
+    window-frame resize reaches cv2.INTER_CUBIC parity (ref:
+    ui/gui_draw.py:84,94,281) purely by swapping the data matrices.
+    """
+    import numpy as _np
+    n_rows = n_rows or n_out
+    m = _np.zeros((n_rows, n_in), _np.float32)
+    if n_in == 1:
+        m[:n_out, 0] = 1.0
+        return m
+    A = -0.75
+    c = (_np.arange(n_out, dtype=_np.float64) + 0.5) * (n_in / n_out) - 0.5
+    sx = _np.floor(c).astype(_np.int64)
+    t = c - sx
+    # OpenCV interpolateCubic coefficient polynomial (A = -0.75).
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    w2 = ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1
+    w3 = 1.0 - w0 - w1 - w2
+    rows = _np.arange(n_out)
+    for k, w in ((-1, w0), (0, w1), (1, w2), (2, w3)):
+        idx = _np.clip(sx + k, 0, n_in - 1)
+        _np.add.at(m, (rows, idx), w.astype(_np.float32))
+    return m
+
+
 @jax.jit
 def zoom_with_matrices(x: jax.Array, rh: jax.Array,
                        rw: jax.Array) -> jax.Array:

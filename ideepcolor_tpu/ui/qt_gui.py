@@ -141,7 +141,7 @@ class GUIDraw(QWidget):
         # frame returns in the SAME dispatch as the forward
         import jax.numpy as jnp
         from ..engine import pipeline as P
-        from ..ops.resize import linear_resize_matrix_np
+        from ..ops.resize import cubic_resize_matrix_np
         self._dev_l_win = jnp.asarray(self.l_win[..., None]
                                       .astype(np.float32))
         bucket = 128
@@ -150,10 +150,13 @@ class GUIDraw(QWidget):
         l_pad = np.zeros((hb, wb, 1), np.float32)
         l_pad[:rh, :rw, 0] = self.l_win
         self._dev_l_win_pad = jnp.asarray(l_pad)
+        # INTER_CUBIC matrices: the reference's ab->window resize is
+        # cv2.INTER_CUBIC (ref ui/gui_draw.py:281); cubic is separable-
+        # linear so the same fused program serves it as data.
         self._dev_win_rh = jnp.asarray(
-            linear_resize_matrix_np(self.load_size, rh, hb))
+            cubic_resize_matrix_np(self.load_size, rh, hb))
         self._dev_win_rw = jnp.asarray(
-            linear_resize_matrix_np(self.load_size, rw, wb))
+            cubic_resize_matrix_np(self.load_size, rw, wb))
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
@@ -289,11 +292,14 @@ class GUIDraw(QWidget):
         self.im_mask0 = self.model.input_mask
         dev_ab = getattr(self.model, "_dev_output_ab", None)
         if dev_ab is not None:
-            # one fused device program: ab upsample to window size +
-            # window-L fusion + lab2rgb + uint8 (no host colorspace work)
+            # one fused device program: INTER_CUBIC ab upsample to window
+            # size + window-L fusion + lab2rgb + uint8 (same cubic data
+            # matrices as the fused click+window path; no host colorspace)
             from ..engine import pipeline as P
-            self.result = np.asarray(P.fullres_fuse(
-                self._dev_l_win, dev_ab, (self.win_h, self.win_w)))
+            self.result = np.ascontiguousarray(np.asarray(
+                P.fullres_fuse_bucketed(
+                    self._dev_l_win_pad, dev_ab, self._dev_win_rh,
+                    self._dev_win_rw))[:self.win_h, :self.win_w])
         else:
             ab = self.model.output_ab.transpose(1, 2, 0)
             ab_win = cv2.resize(ab, (self.win_w, self.win_h),

@@ -159,3 +159,20 @@ def test_full_window_signal_wiring(gui):
             return _fake_qt.Qt.Key_R
     win.keyPressEvent(_K())
     assert len(draw.uiControl.userEdits) == 0
+
+
+def test_window_frame_is_inter_cubic_parity(gui):
+    """The fused device window frame must equal the reference's host
+    recipe: cv2.INTER_CUBIC ab resize + window-L fusion + lab2rgb
+    (ref ui/gui_draw.py:280-284). +/-1 uint8 for f32 accumulation order."""
+    import cv2
+    from ideepcolor_tpu.api.colorize import lab2rgb_transpose
+    draw = gui[1]
+    draw.compute_result()
+    ab = draw.model.output_ab.transpose(1, 2, 0).astype(np.float32)
+    ab_win = cv2.resize(ab, (draw.win_w, draw.win_h),
+                        interpolation=cv2.INTER_CUBIC)
+    want = lab2rgb_transpose(draw.l_win[None], ab_win.transpose(2, 0, 1))
+    diff = np.abs(draw.result.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

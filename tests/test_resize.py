@@ -71,3 +71,32 @@ def test_resize_half_pixel_matches_cv2_linear():
     want = cv2.resize(x, (128, 96), interpolation=cv2.INTER_LINEAR)
     assert got.shape == want.shape
     assert np.max(np.abs(got - want)) < 0.51   # cv2 uses fixed-point interp
+
+
+def test_cubic_resize_matrix_matches_cv2_inter_cubic():
+    """cubic_resize_matrix_np reproduces cv2.INTER_CUBIC (half-pixel
+    centers, A=-0.75, replicated borders) through the same
+    zoom_with_matrices program the GUI window frame uses
+    (ref ui/gui_draw.py:281 resizes ab with INTER_CUBIC)."""
+    import cv2
+    import jax.numpy as jnp
+    for (h, w, H, W) in [(64, 64, 100, 120), (256, 256, 172, 100),
+                         (37, 53, 212, 96), (8, 8, 33, 17)]:
+        x = RNG.uniform(-110, 110, (h, w, 2)).astype(np.float32)
+        rh = jnp.asarray(resize.cubic_resize_matrix_np(h, H))
+        rw = jnp.asarray(resize.cubic_resize_matrix_np(w, W))
+        got = np.asarray(resize.zoom_with_matrices(x, rh, rw))
+        want = cv2.resize(x, (W, H), interpolation=cv2.INTER_CUBIC)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 5e-3   # f32 accumulation order
+
+
+def test_cubic_resize_matrix_padding_and_identity():
+    m = resize.cubic_resize_matrix_np(64, 100, n_rows=128)
+    assert m.shape == (128, 64)
+    assert np.all(m[100:] == 0)
+    # weights are a partition of unity on every live row
+    assert np.allclose(m[:100].sum(1), 1.0, atol=1e-6)
+    # same-size resize is exactly identity (t == 0 -> center tap 1.0)
+    ident = resize.cubic_resize_matrix_np(48, 48)
+    assert np.allclose(ident, np.eye(48), atol=1e-7)
