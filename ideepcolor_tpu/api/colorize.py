@@ -109,6 +109,19 @@ class ColorizeImageBase:
         self._set_img_lab_()
         self._set_img_lab_mc_()
 
+    def load_image_array(self, im_rgb: np.ndarray):
+        """``load_image`` from an in-memory uint8 RGB array of any size
+        (the serving path: decoded request bytes instead of a file)."""
+        im = np.asarray(im_rgb)
+        self.img_rgb_fullres = im.copy()
+        self._set_img_lab_fullres_()
+        import cv2
+        im = cv2.resize(im, (self.Xd, self.Xd))
+        self.img_rgb = im.copy()
+        self.img_l_set = True
+        self._set_img_lab_()
+        self._set_img_lab_mc_()
+
     def set_image(self, input_image: np.ndarray):
         self.img_rgb_fullres = np.asarray(input_image).copy()
         self._set_img_lab_fullres_()

@@ -1,0 +1,201 @@
+"""HTTP serving endpoint over the colorization engine.
+
+The reference has no server (it is a desktop app + notebooks); this is the
+natural production surface over the same fused XLA programs the GUI uses.
+Stdlib-only (``http.server``), one process per chip: requests serialize
+through a lock onto the single device queue (concurrent TPU processes
+contend; a thread pool inside one process pipelines naturally).
+
+Endpoints
+---------
+GET  /healthz
+    {"status": "ok", "device": ..., "size": Xd, "requests": N}
+
+POST /colorize           (Content-Type: image/jpeg | image/png)
+    Body: encoded image bytes. Optional ``X-Hints`` header: JSON list of
+    {"y": int, "x": int, "ab": [a, b], "radius": int} in Xd-grid
+    coordinates (the notebook's put_point semantics,
+    ref DemoInteractiveColorization.ipynb cell 7). Query ``?fullres=0``
+    returns the Xd x Xd frame instead of the full-resolution fusion.
+    Response: image/png of the colorized result.
+
+POST /colorize_batch     (Content-Type: application/x-npz)
+    Body: npz with ``images`` (N,S,S,3 uint8) and optional dense
+    ``hint_ab`` (N,S,S,2) / ``hint_mask`` (N,S,S,1).
+    Response: npz with ``frames`` (N,S,S,3 uint8) via engine.batch
+    (optionally mesh-sharded over batch with --mesh).
+
+Run: ``python -m ideepcolor_tpu.apps.serve --port 8723 [--weights W]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class ColorizeService:
+    """Model state + request handlers, shared across server threads."""
+
+    def __init__(self, weights: str = '', size: int = 256,
+                 maskcent: bool = False, use_mesh: bool = False):
+        from .. import api
+        self.size = size
+        self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
+        self.model.prep_net(path=weights)
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.mesh = None
+        if use_mesh:
+            import jax
+            from ..parallel import mesh as pmesh
+            if len(jax.devices()) > 1:
+                self.mesh = pmesh.make_mesh()
+
+    # -- single image --
+    def colorize(self, img_bytes: bytes, hints=None,
+                 fullres: bool = True) -> bytes:
+        import cv2
+        from ..ops.hints import put_point
+        raw = np.frombuffer(img_bytes, np.uint8)
+        bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("undecodable image body")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        ab = np.zeros((2, self.size, self.size), np.float32)
+        mask = np.zeros((1, self.size, self.size), np.float32)
+        for h in hints or []:
+            put_point(ab, mask, [int(h["y"]), int(h["x"])],
+                      int(h.get("radius", 3)),
+                      [float(h["ab"][0]), float(h["ab"][1])])
+        with self.lock:
+            self.requests += 1
+            self.model.load_image_array(rgb)
+            out = self.model.net_forward_fullres(ab, mask)
+            if isinstance(out, int):
+                raise RuntimeError("forward failed")
+            frame, full = out
+        result = full if fullres else frame
+        ok, png = cv2.imencode(".png", result[:, :, ::-1])
+        if not ok:
+            raise RuntimeError("png encode failed")
+        return png.tobytes()
+
+    # -- batch --
+    def colorize_batch(self, body: bytes) -> bytes:
+        from ..engine.batch import colorize_batch
+        with np.load(io.BytesIO(body)) as z:
+            images = z["images"]
+            hint_ab = z["hint_ab"] if "hint_ab" in z else None
+            hint_mask = z["hint_mask"] if "hint_mask" in z else None
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(f"images must be (N,S,S,3), got {images.shape}")
+        with self.lock:
+            self.requests += 1
+            frames = colorize_batch(self.model.params, images,
+                                    hint_ab=hint_ab, hint_mask=hint_mask,
+                                    maskcent=float(self.model.mask_cent),
+                                    mesh=self.mesh)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, frames=frames)
+        return buf.getvalue()
+
+    def health(self) -> dict:
+        import jax
+        return {"status": "ok", "device": str(jax.devices()[0]),
+                "size": self.size, "requests": self.requests,
+                "mesh": None if self.mesh is None else
+                dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: ColorizeService = None  # injected by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, code: int, msg: str):
+        self._reply(code, json.dumps({"error": msg}).encode(),
+                    "application/json")
+
+    def do_GET(self):
+        if self.path.split("?")[0] == "/healthz":
+            self._reply(200, json.dumps(self.service.health()).encode(),
+                        "application/json")
+        else:
+            self._err(404, f"unknown path {self.path}")
+
+    def do_POST(self):
+        path, _, query = self.path.partition("?")
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            if path == "/colorize":
+                hints = None
+                if self.headers.get("X-Hints"):
+                    hints = json.loads(self.headers["X-Hints"])
+                fullres = "fullres=0" not in query
+                png = self.service.colorize(body, hints, fullres=fullres)
+                self._reply(200, png, "image/png")
+            elif path == "/colorize_batch":
+                out = self.service.colorize_batch(body)
+                self._reply(200, out, "application/x-npz")
+            else:
+                self._err(404, f"unknown path {path}")
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._err(400, str(e))
+        except Exception as e:  # pragma: no cover - defensive 500
+            self._err(500, str(e))
+
+
+def make_server(port: int = 0, host: str = "127.0.0.1",
+                **service_kw) -> ThreadingHTTPServer:
+    """Build a ready-to-serve ThreadingHTTPServer (port 0 = ephemeral;
+    address in ``server.server_address``). Caller runs serve_forever()."""
+    service = ColorizeService(**service_kw)
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ideepcolor-tpu HTTP serving")
+    p.add_argument("--port", type=int, default=8723)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--weights", type=str, default="",
+                   help="checkpoint (.pth/.npz/orbax dir); seeded random "
+                        "weights when empty")
+    p.add_argument("--load_size", type=int, default=256)
+    p.add_argument("--pytorch_maskcent", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard /colorize_batch over all local devices")
+    args = p.parse_args(argv)
+    srv = make_server(port=args.port, host=args.host,
+                      weights=args.weights, size=args.load_size,
+                      maskcent=args.pytorch_maskcent, use_mesh=args.mesh)
+    print(f"serving on http://{srv.server_address[0]}:"
+          f"{srv.server_address[1]}  (POST /colorize, /colorize_batch; "
+          f"GET /healthz)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

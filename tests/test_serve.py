@@ -1,0 +1,109 @@
+"""HTTP serving endpoint tests (stdlib server, in-process thread).
+
+New production surface beyond the reference (which is desktop-only);
+exercises decode -> load -> fused forward + full-res fusion -> PNG, the
+hint header, the npz batch path, and error handling.
+"""
+import http.client
+import io
+import json
+import threading
+
+import cv2
+import numpy as np
+import pytest
+
+from ideepcolor_tpu.apps import serve
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = serve.make_server(port=0, size=64)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+def _conn(addr):
+    return http.client.HTTPConnection(addr[0], addr[1], timeout=120)
+
+
+def _png_bytes(h=80, w=96):
+    img = (RNG.random((h, w, 3)) * 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".png", img[:, :, ::-1])
+    assert ok
+    return img, buf.tobytes()
+
+
+def test_healthz(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["size"] == 64
+
+
+def test_colorize_fullres_png(server):
+    img, body = _png_bytes(80, 96)
+    c = _conn(server)
+    c.request("POST", "/colorize", body=body,
+              headers={"Content-Type": "image/png"})
+    r = c.getresponse()
+    assert r.status == 200
+    out = cv2.imdecode(np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR)
+    assert out.shape == img.shape  # full-res fusion keeps input size
+
+
+def test_colorize_netres_and_hints_change_output(server):
+    _img, body = _png_bytes(64, 64)
+    c = _conn(server)
+    c.request("POST", "/colorize?fullres=0", body=body)
+    plain = cv2.imdecode(np.frombuffer(c.getresponse().read(), np.uint8),
+                         cv2.IMREAD_COLOR)
+    assert plain.shape == (64, 64, 3)
+    hints = [{"y": 30, "x": 30, "ab": [40.0, -50.0], "radius": 2}]
+    c.request("POST", "/colorize?fullres=0", body=body,
+              headers={"X-Hints": json.dumps(hints)})
+    hinted = cv2.imdecode(np.frombuffer(c.getresponse().read(), np.uint8),
+                          cv2.IMREAD_COLOR)
+    assert hinted.shape == (64, 64, 3)
+    assert not np.array_equal(plain, hinted)
+
+
+def test_colorize_batch_npz(server):
+    imgs = (RNG.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, images=imgs)
+    c = _conn(server)
+    c.request("POST", "/colorize_batch", body=buf.getvalue(),
+              headers={"Content-Type": "application/x-npz"})
+    r = c.getresponse()
+    assert r.status == 200
+    with np.load(io.BytesIO(r.read())) as z:
+        frames = z["frames"]
+    assert frames.shape == (3, 64, 64, 3)
+    assert frames.dtype == np.uint8
+    # L channel is preserved-ish: frames are colorizations of the gray
+    # structure, so they differ across distinct inputs
+    assert not np.array_equal(frames[0], frames[1])
+
+
+def test_bad_requests(server):
+    c = _conn(server)
+
+    def status(method, path, body=None):
+        c.request(method, path, body=body)
+        r = c.getresponse()
+        r.read()  # drain so the keep-alive connection is reusable
+        return r.status
+
+    assert status("POST", "/colorize", b"not an image") == 400
+    assert status("POST", "/colorize_batch", b"junk") == 400
+    assert status("GET", "/nope") == 404
+    assert status("POST", "/nope", b"") == 404
