@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
@@ -36,9 +37,46 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(dcn_parallel: int | None = None,
+                     model_parallel: int = 1) -> Mesh:
+    """(dcn, data, model) mesh for multi-host scale-out.
+
+    The outermost ``dcn`` axis maps across hosts/slices (the slow DCN
+    links); ``data``/``model`` stay within a slice's ICI. Batch
+    parallelism over (dcn, data) needs no cross-image communication, so
+    DCN only ever carries the gradient all-reduce in training — the
+    layout XLA wants for hierarchical collectives (reduce-scatter over
+    ICI, then the small cross-host sum over DCN).
+
+    On a real multi-process run the device order comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (contiguous per-host
+    granules). Single-process (incl. the virtual CPU test mesh): the
+    process-local device list is reshaped, with ``dcn_parallel``
+    emulating the host count.
+    """
+    devs = jax.devices()
+    mp = model_parallel
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        n_hosts = dcn_parallel or jax.process_count()
+        n_local = len(devs) // n_hosts
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_local // mp, mp), (n_hosts, 1, 1), devices=devs)
+    else:
+        dcn = dcn_parallel or 1
+        n = len(devs)
+        if n % (dcn * mp):
+            raise ValueError(f"{dcn=} x {model_parallel=} must divide {n=}")
+        grid = np.array(devs).reshape(dcn, n // (dcn * mp), mp)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over the data axis — and over the
+    dcn (cross-host) axis too when the mesh has one, so one annotation
+    serves both single-slice and multi-host meshes."""
+    axes = tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -151,3 +151,48 @@ def test_training_overfits_fixed_batch():
         losses_seen.append(float(aux["loss"]))
     assert losses_seen[-1] < 0.6 * losses_seen[0], (
         losses_seen[0], losses_seen[-1])
+
+
+def test_hybrid_dcn_mesh_serving_and_training():
+    """(dcn, data, model) hybrid mesh: batch shards over dcn x data, the
+    sharded train step and batched serving both run and match the
+    unsharded results (DCN carries only the gradient all-reduce)."""
+    mesh = pmesh.make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    bs = pmesh.batch_sharding(mesh)
+    x = pmesh.shard_batch({"x": np.zeros((8, 4), np.float32)}, mesh)["x"]
+    assert not x.sharding.is_fully_replicated
+    assert len(x.sharding.device_set) == 8  # batch spans all 8 devices
+
+    # training: one sharded step == one single-device step
+    cfg = tstep.TrainConfig(lr=1e-3, remat=False)
+    state = tstep.init_state(jax.random.key(3), cfg)
+    rng = np.random.default_rng(13)
+    batch = {
+        "l": jnp.asarray(rng.uniform(0, 100, (8, 32, 32, 1)), jnp.float32),
+        "ab": jnp.asarray(rng.uniform(-60, 60, (8, 32, 32, 2)), jnp.float32),
+    }
+    want_state, want_aux = jax.jit(tstep.make_train_step(cfg))(
+        state, batch, jax.random.key(5))
+
+    jitted, shard_state, shard_batch = tstep.make_sharded_train_step(
+        cfg, mesh)
+    state2 = tstep.init_state(jax.random.key(3), cfg)
+    with mesh:
+        got_state, got_aux = jitted(shard_state(state2),
+                                    shard_batch(batch), jax.random.key(5))
+    assert np.allclose(float(got_aux["loss"]), float(want_aux["loss"]),
+                       rtol=1e-4)
+    k = "model1.0.weight"
+    assert np.allclose(np.asarray(got_state["params"][k]),
+                       np.asarray(want_state["params"][k]), atol=1e-5)
+
+    # serving: mesh-sharded colorize_batch == unsharded
+    from ideepcolor_tpu.engine.batch import colorize_batch
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    imgs = (rng.random((8, 64, 64, 3)) * 255).astype(np.uint8)
+    plain = colorize_batch(params, imgs)
+    sharded = colorize_batch(params, imgs, mesh=mesh)
+    assert np.array_equal(plain, sharded)
