@@ -96,6 +96,32 @@ class ColorizeImageBase:
         self.net_set = False
         self.Xfullres_max = Xfullres_max
         self.img_just_set = False
+        self._output_rgb_np = None
+        self._dev_output_rgb = None
+
+    # ``output_rgb`` materializes lazily: click programs assign the device
+    # array (async host copy starts immediately), and the ~196 KB tunnel
+    # readback only happens if something actually reads the net-res frame
+    # (the GUI's fused click+window path never does — it displays the
+    # window frame and saves one RPC round trip per click).
+    @property
+    def output_rgb(self):
+        if self._output_rgb_np is None and self._dev_output_rgb is not None:
+            self._output_rgb_np = np.asarray(self._dev_output_rgb)
+        return self._output_rgb_np
+
+    @output_rgb.setter
+    def output_rgb(self, value):
+        if value is None or isinstance(value, np.ndarray):
+            self._output_rgb_np = value
+            self._dev_output_rgb = None
+        else:                                  # device array: defer readback
+            try:
+                value.copy_to_host_async()
+            except Exception:
+                pass
+            self._dev_output_rgb = value
+            self._output_rgb_np = None
 
     # ----- image prep -----
     def load_image(self, input_path: str):
@@ -202,8 +228,9 @@ class ColorizeImageBase:
         the SAME dispatch (saves one round trip per GUI click).
 
         l_win_pad (Hb, Wb, 1) device array of window L padded to a bucket;
-        rh (Hb, Xd) / rw (Wb, Xd) data interpolation matrices. Returns
-        (frame_256, win_frame_padded); the GUI crops to (win_h, win_w).
+        rh (Hb, Xd) / rw (Wb, Xd) data interpolation matrices. Returns the
+        padded window frame (the GUI crops to (win_h, win_w)); the net-res
+        frame stays device-resident in ``output_rgb`` (lazy readback).
         """
         if not self.img_l_set or not self.net_set:
             return -1
@@ -222,9 +249,12 @@ class ColorizeImageBase:
             self.params, jnp.asarray(boxes, jnp.int32),
             jnp.asarray(values, jnp.float32), jnp.int32(count))
         self._dev_output_ab = out_ab
-        self.output_rgb = np.asarray(rgb)
+        # the net-res frame stays device-resident (output_rgb materializes
+        # lazily on first read); only the window frame pays the readback —
+        # one RPC round trip per click instead of two
+        self.output_rgb = rgb
         self._set_out_ab_()
-        return self.output_rgb, np.asarray(win)
+        return np.asarray(win)
 
     def net_forward_fullres(self, input_ab, input_mask):
         """Forward + full-res reconstruction in ONE device dispatch.

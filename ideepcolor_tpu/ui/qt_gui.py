@@ -270,11 +270,10 @@ class GUIDraw(QWidget):
         self._t_click.__enter__()
         boxes, vals, n = self.uiControl.hint_table()
         # fused click+window program: both frames in one dispatch
-        out = self.model.net_forward_table_win(
+        win = self.model.net_forward_table_win(
             boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
             self._dev_win_rw)
-        if not (np.isscalar(out) and out == -1):
-            _frame, win = out
+        if not (np.isscalar(win) and win == -1):
             self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
             self.im_ab0 = self.model.input_ab
             self.im_mask0 = self.model.input_mask

@@ -314,8 +314,10 @@ def test_table_win_click_matches_separate_paths():
     rh = jnp.asarray(linear_resize_matrix_np(64, win_h, hb))
     rw = jnp.asarray(linear_resize_matrix_np(64, win_w, wb))
 
-    frame, win = m.net_forward_table_win(boxes, vals, 1,
-                                         jnp.asarray(l_pad), rh, rw)
+    win = m.net_forward_table_win(boxes, vals, 1,
+                                  jnp.asarray(l_pad), rh, rw)
+    # net-res frame stays device-resident; output_rgb materializes lazily
+    frame = m.output_rgb
     frame_ref = m.net_forward_table(boxes, vals, 1)
     assert np.array_equal(frame, frame_ref)
     want_win = np.asarray(P.fullres_fuse_bucketed(
