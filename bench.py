@@ -235,6 +235,53 @@ def bench_batch_fullres(extras):
     extras["batch32_fullres2048_imgs_per_sec"] = round(N / dt, 1)
 
 
+def bench_http_serving(extras):
+    """Production surface: in-process HTTP server, single-image latency
+    (decode + load + fused forward/full-res + PNG encode) and batch-16
+    npz throughput. Reuses the programs the click bench already compiled."""
+    import http.client
+    import io
+    import threading
+    from ideepcolor_tpu.apps import serve
+    srv = serve.make_server(port=0, size=256)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        host, port = srv.server_address
+        img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
+        if not os.path.exists(img):
+            return
+        body = open(img, "rb").read()
+        c = http.client.HTTPConnection(host, port, timeout=600)
+        c.request("POST", "/colorize", body=body)   # warm/compile
+        c.getresponse().read()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            c.request("POST", "/colorize", body=body)
+            c.getresponse().read()
+            ts.append(time.perf_counter() - t0)
+        extras["http_colorize_fullres_p50_ms"] = round(
+            float(np.median(ts)) * 1000, 1)
+
+        rng = np.random.default_rng(7)
+        imgs = (rng.random((16, 256, 256, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, images=imgs)
+        payload = buf.getvalue()
+        c.request("POST", "/colorize_batch", body=payload)   # warm
+        c.getresponse().read()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            c.request("POST", "/colorize_batch", body=payload)
+            c.getresponse().read()
+        dt = (time.perf_counter() - t0) / 3
+        extras["http_batch16_imgs_per_sec"] = round(16 / dt, 1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def bench_streaming(extras):
     """Config 5: 30fps stream with persistent hints + dist decode."""
     import jax
@@ -276,7 +323,7 @@ def main():
         p50 = extras.get("dense_path_p50_ms", -1.0)
         cm = None
     for fn in (bench_throughput, bench_batched_serving, bench_global_hints,
-               bench_batch_fullres, bench_streaming):
+               bench_batch_fullres, bench_streaming, bench_http_serving):
         try:
             fn(cm, extras) if fn is bench_throughput else fn(extras)
         except Exception as e:  # keep the headline even if a config fails

@@ -259,11 +259,13 @@ class ColorizeImageBase:
     def net_forward_fullres(self, input_ab, input_mask):
         """Forward + full-res reconstruction in ONE device dispatch.
 
-        Returns (img_256 uint8, img_fullres uint8). Equivalent to
+        Returns the full-resolution uint8 image. Equivalent to
         ``net_forward`` followed by ``get_img_fullres`` (the standard
         notebook pattern) but pays a single round trip: the fused program
         runs the model, composes the net-res frame, requantizes ab and
         performs the matmul-upsample + L-fusion in the same XLA program.
+        The net-res frame stays device-resident in ``output_rgb`` (lazy
+        readback via ``get_img_forward``).
         """
         if not self.img_l_set or not self.net_set:
             return -1
@@ -277,9 +279,9 @@ class ColorizeImageBase:
         full = P.fullres_fuse_bucketed(
             self._dev_l_fullres_pad, out_ab, self._dev_rh, self._dev_rw)
         self._dev_output_ab = out_ab
-        self.output_rgb = np.asarray(rgb)
+        self.output_rgb = rgb
         self._set_out_ab_()
-        return self.output_rgb, np.asarray(full)[:H, :W]
+        return np.asarray(full)[:H, :W]
 
     def _dispatch_click(self):
         """Dispatch the backend's dense click program (no readback);

@@ -76,11 +76,11 @@ class ColorizeService:
         with self.lock:
             self.requests += 1
             self.model.load_image_array(rgb)
-            out = self.model.net_forward_fullres(ab, mask)
-            if isinstance(out, int):
+            full = self.model.net_forward_fullres(ab, mask)
+            if isinstance(full, int):
                 raise RuntimeError("forward failed")
-            frame, full = out
-        result = full if fullres else frame
+            # net-res frame materializes lazily only when requested
+            result = full if fullres else self.model.output_rgb
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -102,7 +102,9 @@ class ColorizeService:
                                     maskcent=float(self.model.mask_cent),
                                     mesh=self.mesh)
         buf = io.BytesIO()
-        np.savez_compressed(buf, frames=frames)
+        # uncompressed npz: photo-like uint8 frames barely compress and
+        # deflate costs 100+ ms per batch on the response path
+        np.savez(buf, frames=frames)
         return buf.getvalue()
 
     def health(self) -> dict:

@@ -221,7 +221,8 @@ def test_net_forward_fullres_matches_two_step(caffe_model):
     ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
     ab[:, 30:33, 30:33] = np.array([40.0, -20.0])[:, None, None]
     mask[:, 30:33, 30:33] = 1
-    out256, full = m.net_forward_fullres(ab, mask)
+    full = m.net_forward_fullres(ab, mask)
+    out256 = m.output_rgb          # net-res frame materializes lazily
     want256 = m.net_forward(ab, mask)
     want_full = m.get_img_fullres()
     assert np.array_equal(out256, want256)
@@ -230,8 +231,9 @@ def test_net_forward_fullres_matches_two_step(caffe_model):
     s = api.ColorizeImageJax(Xd=64)
     s.prep_net(path='')
     s.set_image(_rand_image(9, 64, 64))
-    o, f = s.net_forward_fullres(ab, mask)
-    assert o.shape == (64, 64, 3) and f.shape == (64, 64, 3)
+    f = s.net_forward_fullres(ab, mask)
+    assert s.get_img_forward().shape == (64, 64, 3)
+    assert f.shape == (64, 64, 3)
 
     # dist backends don't expose the single-output click program
     d = api.ColorizeImageJaxDist(Xd=64)
