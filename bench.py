@@ -295,7 +295,9 @@ def bench_streaming(extras):
     hint_mask[100:104, 100:104] = 1
     sess.set_hints(hint_ab, hint_mask)
     rng = np.random.default_rng(3)
-    frames = [rng.uniform(0, 100, (256, 256)).astype(np.float32)
+    # 8-bit gray frames (a real video source): dequant to L runs on device,
+    # quartering the per-frame upload on the transfer-bound stream
+    frames = [rng.integers(0, 256, (256, 256), dtype=np.uint8)
               for _ in range(8)]
     for f in frames:                      # warm/compile
         sess.submit(f)

@@ -40,6 +40,16 @@ def _stream_step(params, l_raw, hint_ab, hint_mask, maskcent):
     return rgb[0], dist[0]
 
 
+@jax.jit
+def _stream_step_u8(params, gray_u8, hint_ab, hint_mask, maskcent):
+    """uint8 gray-frame variant: the dequant to L in [0,100] happens on
+    device, so an 8-bit video source uploads a quarter of the bytes per
+    frame (64 KB vs 256 KB at 256^2) — the stream is transfer-bound on
+    PCIe/tunnel links, not compute-bound."""
+    l_raw = gray_u8.astype(jnp.float32) * (100.0 / 255.0)
+    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent)
+
+
 class StreamingSession:
     """Pipelined hint-persistent colorization of an L-frame stream.
 
@@ -70,11 +80,18 @@ class StreamingSession:
         self._hint_mask = jnp.asarray(hint_mask, jnp.float32)[None]
 
     def submit(self, l_frame: np.ndarray):
-        """l_frame (H,W) raw L in [0,100]. Returns a completed (rgb_u8,
-        dist) pair once the pipeline is primed, else None."""
-        l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
-        out = _stream_step(self.params, l, self._hint_ab, self._hint_mask,
-                           self.maskcent)
+        """l_frame (H,W): raw L in [0,100] (float), or a uint8 gray frame
+        (dequantized to L on device — 4x fewer upload bytes). Returns a
+        completed (rgb_u8, dist) pair once the pipeline is primed, else
+        None."""
+        if np.asarray(l_frame).dtype == np.uint8:
+            g = jnp.asarray(l_frame)[None, ..., None]
+            out = _stream_step_u8(self.params, g, self._hint_ab,
+                                  self._hint_mask, self.maskcent)
+        else:
+            l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
+            out = _stream_step(self.params, l, self._hint_ab,
+                               self._hint_mask, self.maskcent)
         # start the device->host copy immediately so materialization later
         # only waits on an already-running transfer (hides the readback
         # round trip behind subsequent frames' compute)

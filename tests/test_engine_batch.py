@@ -98,3 +98,30 @@ def test_colorize_batch_convenience():
     mesh = pmesh.make_mesh(4, model_parallel=1)
     out_m = eb.colorize_batch(params, imgs, mesh=mesh)
     assert np.mean(out_m.astype(int) != out.astype(int)) < 0.01
+
+
+def test_streaming_uint8_frames_match_float_path():
+    """uint8 gray submission dequantizes on device and must equal the
+    float path fed the same dequantized L values."""
+    import jax
+    from ideepcolor_tpu.engine import streaming
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    hint_ab = np.zeros((32, 32, 2), np.float32)
+    hint_mask = np.zeros((32, 32, 1), np.float32)
+    hint_ab[10:12, 10:12] = [30, -30]; hint_mask[10:12, 10:12] = 1
+
+    s8 = streaming.StreamingSession(params, size=32, depth=1,
+                                    with_dist=False)
+    s8.set_hints(hint_ab, hint_mask)
+    sf = streaming.StreamingSession(params, size=32, depth=1,
+                                    with_dist=False)
+    sf.set_hints(hint_ab, hint_mask)
+    s8.submit(g)
+    sf.submit(g.astype(np.float32) * (100.0 / 255.0))
+    (rgb8, _), = s8.drain()
+    (rgbf, _), = sf.drain()
+    assert rgb8.dtype == np.uint8
+    assert np.array_equal(rgb8, rgbf)
