@@ -66,7 +66,13 @@ def _load_checkpoint(path: str) -> dict | None:
     import os
     if os.path.isdir(path):                 # orbax checkpoint directory
         from ..utils.session import load_params_orbax
-        return {k: np.asarray(v) for k, v in load_params_orbax(path).items()}
+        flat = {k: np.asarray(v) for k, v in load_params_orbax(path).items()}
+        if any(k.startswith("params/") for k in flat):
+            # a full TRAIN-state checkpoint (train.step.save_train_state):
+            # use its params and drop optimizer moments/step
+            return {k.split("/", 1)[1]: v for k, v in flat.items()
+                    if k.startswith("params/")}
+        return flat
     if path.endswith(".npz"):
         return dict(np.load(path))
     if path.endswith((".pth", ".pt")):

@@ -27,6 +27,9 @@ def parse_args(argv=None):
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--resume", type=str, default="")
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--export", type=str, default="",
+                    help="also save final params-only weights (orbax dir "
+                         "or .npz) directly loadable by api prep_net")
     return ap.parse_args(argv)
 
 
@@ -83,6 +86,16 @@ def main(argv=None):
                 tstep.save_train_state(path, jax.device_get(state))
                 print(f"checkpoint -> {path}")
     loader.close()
+    if args.export:
+        import numpy as np
+        params = {k: np.asarray(v) for k, v in
+                  jax.device_get(state)["params"].items()}
+        if args.export.endswith(".npz"):
+            np.savez(args.export, **params)
+        else:
+            from ideepcolor_tpu.utils.session import save_params_orbax
+            save_params_orbax(args.export, params)
+        print(f"exported params -> {args.export}")
     print(timer.report())
     return 0
 

@@ -64,13 +64,23 @@ def test_train_cli_smoke(tmp_path):
     rc = train_cli.main([str(data), "--steps", "3", "--batch", "2",
                          "--size", "32", "--ckpt",
                          str(tmp_path / "ck"), "--ckpt-every", "3",
-                         "--log-every", "1"])
+                         "--log-every", "1",
+                         "--export", str(tmp_path / "weights.npz")])
     assert rc == 0
     # checkpoint was written and is loadable
     from ideepcolor_tpu.train import step as tstep
     st = tstep.load_train_state(str(tmp_path / "ck_3"),
                                 tstep.TrainConfig())
     assert int(st["step"]) == 3
+    # the train -> serve loop closes: both the exported params and the raw
+    # TRAIN-state checkpoint dir load through prep_net and forward
+    from ideepcolor_tpu import api
+    for w in (str(tmp_path / "weights.npz"), str(tmp_path / "ck_3")):
+        m = api.ColorizeImageJax(Xd=32)
+        m.prep_net(path=w)
+        m.set_image(np.full((32, 32, 3), 128, np.uint8))
+        out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
+        assert not np.isscalar(out) and out.shape == (32, 32, 3)
 
 
 def test_image_folder_loader(tmp_path):
