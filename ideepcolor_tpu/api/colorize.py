@@ -458,7 +458,10 @@ class ColorizeImageJax(ColorizeImageBase):
         self.mask_cent = .5 if maskcent else 0
         self.pts_in_hull = make_pts_grid()               # 529x2 full grid
 
-    def prep_net(self, gpu_id=None, path='', dist=False):
+    def prep_net(self, gpu_id=None, path='', dist=False, dtype=None):
+        """dtype: optional serving precision for the weights (e.g.
+        'bfloat16' — the fast MXU mode, ~1-2 uint8 LSB from f32; int8 was
+        measured slower than bf16 on v5e, see docs/ROADMAP.md)."""
         sd = _load_checkpoint(path)
         if sd is None:
             self.params = siggraph.init_params(jax.random.key(0))
@@ -468,6 +471,9 @@ class ColorizeImageJax(ColorizeImageBase):
         else:
             # raw torch state dict (OIHW) -> convert layouts
             self.params = siggraph.from_torch_state_dict(sd)
+        if dtype is not None:
+            dt = jnp.dtype(dtype)
+            self.params = {k: v.astype(dt) for k, v in self.params.items()}
         self.dist = dist
         if not dist:
             # hints travel as one (H,W,3) array = ab_mc + mask (a single
@@ -608,11 +614,13 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
         self.pred_ab_layer = 'pred_ab'
         self.pts_in_hull = get_bins().pts_in_hull
 
-    def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path=''):
+    def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path='',
+                 dtype=None):
         """prototxt_path is accepted for reference-call parity and unused
         (graph structure is built in); caffemodel_path may be a raw
         ``.caffemodel`` (parsed natively, models/caffemodel_io) or a
-        converted ``.npz``."""
+        converted ``.npz``. dtype: optional serving precision (e.g.
+        'bfloat16', the fast MXU mode)."""
         if caffemodel_path and caffemodel_path.endswith(".caffemodel"):
             from ..models.caffemodel_io import load_caffemodel
             self.params = load_caffemodel(caffemodel_path, self.variant)
@@ -623,6 +631,9 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
                                                     self.variant)
             else:
                 self.params = {k: jnp.asarray(v) for k, v in sd.items()}
+        if dtype is not None:
+            dt = jnp.dtype(dtype)
+            self.params = {k: v.astype(dt) for k, v in self.params.items()}
         self._make_click()
         self.net_set = True
 
@@ -712,8 +723,9 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
         self._rng_key = jax.random.key(0)
 
     def prep_net(self, gpu_id=None, prototxt_path='', caffemodel_path='',
-                 S=.2):
-        super().prep_net(gpu_id, prototxt_path, caffemodel_path)
+                 S=.2, dtype=None):
+        super().prep_net(gpu_id, prototxt_path, caffemodel_path,
+                         dtype=dtype)
         self.S = S
         self.params["scale_S.scale"] = jnp.asarray(S, jnp.float32)
 

@@ -43,11 +43,12 @@ class ColorizeService:
     """Model state + request handlers, shared across server threads."""
 
     def __init__(self, weights: str = '', size: int = 256,
-                 maskcent: bool = False, use_mesh: bool = False):
+                 maskcent: bool = False, use_mesh: bool = False,
+                 dtype: str | None = None):
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
-        self.model.prep_net(path=weights)
+        self.model.prep_net(path=weights, dtype=dtype)
         self.lock = threading.Lock()
         self.requests = 0
         self.mesh = None
@@ -183,10 +184,13 @@ def main(argv=None):
     p.add_argument("--pytorch_maskcent", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard /colorize_batch over all local devices")
+    p.add_argument("--dtype", type=str, default=None,
+                   help="serving precision, e.g. bfloat16 (fast MXU mode)")
     args = p.parse_args(argv)
     srv = make_server(port=args.port, host=args.host,
                       weights=args.weights, size=args.load_size,
-                      maskcent=args.pytorch_maskcent, use_mesh=args.mesh)
+                      maskcent=args.pytorch_maskcent, use_mesh=args.mesh,
+                      dtype=args.dtype)
     print(f"serving on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]}  (POST /colorize, /colorize_batch; "
           f"GET /healthz)")

@@ -238,7 +238,7 @@ def bilinear_up2_fixed(x: jax.Array) -> jax.Array:
     # Transposed conv == conv over an lhs-dilated input with flipped kernel;
     # the kernel is symmetric under the required flip except for the zero
     # row/col, which the flip moves to the leading edge.
-    k = CAFFE_US_KERNEL[::-1, ::-1]
+    k = CAFFE_US_KERNEL[::-1, ::-1].astype(x.dtype)  # match serving dtype
     kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, depthwise
     return jax.lax.conv_general_dilated(
         x, kern,

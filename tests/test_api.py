@@ -326,3 +326,32 @@ def test_table_win_click_matches_separate_paths():
         jnp.asarray(l_pad), m._dev_output_ab, rh, rw))
     assert np.array_equal(win, want_win)
     assert win.shape == (hb, wb, 3)
+
+
+def test_prep_net_bfloat16_serving_mode():
+    """dtype='bfloat16' casts the weights for the fast MXU serving mode;
+    frames stay within a few uint8 LSB of the f32 path."""
+    import jax.numpy as jnp
+    ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
+    ab[:, 30:33, 30:33] = np.array([40.0, -20.0])[:, None, None]
+    mask[:, 30:33, 30:33] = 1
+    img = _rand_image(31, 64, 64)
+
+    outs = {}
+    for dt in (None, "bfloat16"):
+        m = api.ColorizeImageJax(Xd=64)
+        m.prep_net(path='', dtype=dt)
+        m.set_image(img)
+        outs[dt] = m.net_forward(ab, mask)
+    assert outs["bfloat16"].dtype == np.uint8
+    diff = np.abs(outs[None].astype(int) - outs["bfloat16"].astype(int))
+    assert diff.mean() < 3.0
+
+    c = api.ColorizeImageJaxCaffeDist(Xd=64)
+    c.prep_net(None, dtype="bfloat16")
+    assert c.params["bw_conv1_1.weight"].dtype == jnp.bfloat16
+    # the injected softmax temperature stays f32
+    assert c.params["scale_S.scale"].dtype == jnp.float32
+    c.set_image(img)
+    out = c.net_forward(ab, mask)
+    assert not np.isscalar(out)
