@@ -133,13 +133,7 @@ class ColorizeImageBase:
     def load_image(self, input_path: str):
         import cv2
         im = cv2.cvtColor(cv2.imread(input_path, 1), cv2.COLOR_BGR2RGB)
-        self.img_rgb_fullres = im.copy()
-        self._set_img_lab_fullres_()
-        im = cv2.resize(im, (self.Xd, self.Xd))
-        self.img_rgb = im.copy()
-        self.img_l_set = True
-        self._set_img_lab_()
-        self._set_img_lab_mc_()
+        self.load_image_array(im)
 
     def load_image_array(self, im_rgb: np.ndarray):
         """``load_image`` from an in-memory uint8 RGB array of any size
@@ -540,8 +534,8 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         self.A = self.B = 23
         self._rng_key = jax.random.key(0)
 
-    def prep_net(self, gpu_id=None, path='', dist=True, S=.2):
-        super().prep_net(gpu_id, path, dist=True)
+    def prep_net(self, gpu_id=None, path='', dist=True, S=.2, dtype=None):
+        super().prep_net(gpu_id, path, dist=True, dtype=dtype)
 
     def net_forward(self, input_ab, input_mask):
         out = super().net_forward(input_ab, input_mask)

@@ -70,18 +70,29 @@ class ColorizeService:
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         ab = np.zeros((2, self.size, self.size), np.float32)
         mask = np.zeros((1, self.size, self.size), np.float32)
+        if hints is not None and not isinstance(hints, list):
+            raise ValueError("X-Hints must be a JSON list of point dicts")
         for h in hints or []:
-            put_point(ab, mask, [int(h["y"]), int(h["x"])],
-                      int(h.get("radius", 3)),
+            p = int(h.get("radius", 3))
+            if not 0 <= p < self.size // 2:
+                raise ValueError(f"hint radius {p} out of range")
+            # clamp so the patch stays in-image (negative slice starts
+            # would silently write nothing)
+            y = min(max(int(h["y"]), p), self.size - 1 - p)
+            x = min(max(int(h["x"]), p), self.size - 1 - p)
+            put_point(ab, mask, [y, x], p,
                       [float(h["ab"][0]), float(h["ab"][1])])
         with self.lock:
             self.requests += 1
             self.model.load_image_array(rgb)
-            full = self.model.net_forward_fullres(ab, mask)
-            if isinstance(full, int):
+            if fullres:
+                result = self.model.net_forward_fullres(ab, mask)
+            else:
+                # net-res only: plain click program, no full-res fusion
+                # or full-frame readback
+                result = self.model.net_forward(ab, mask)
+            if isinstance(result, int):
                 raise RuntimeError("forward failed")
-            # net-res frame materializes lazily only when requested
-            result = full if fullres else self.model.output_rgb
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")

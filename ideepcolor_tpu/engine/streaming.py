@@ -84,7 +84,7 @@ class StreamingSession:
         (dequantized to L on device — 4x fewer upload bytes). Returns a
         completed (rgb_u8, dist) pair once the pipeline is primed, else
         None."""
-        if np.asarray(l_frame).dtype == np.uint8:
+        if getattr(l_frame, "dtype", None) == np.uint8:
             g = jnp.asarray(l_frame)[None, ..., None]
             out = _stream_step_u8(self.params, g, self._hint_ab,
                                   self._hint_mask, self.maskcent)

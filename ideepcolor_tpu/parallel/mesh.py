@@ -59,6 +59,10 @@ def make_hybrid_mesh(dcn_parallel: int | None = None,
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
         n_hosts = dcn_parallel or jax.process_count()
+        if len(devs) % n_hosts or (len(devs) // n_hosts) % mp:
+            raise ValueError(
+                f"dcn={n_hosts} x {model_parallel=} must divide "
+                f"{len(devs)} devices")
         n_local = len(devs) // n_hosts
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, n_local // mp, mp), (n_hosts, 1, 1), devices=devs)

@@ -142,8 +142,6 @@ class GUIDraw(QWidget):
         import jax.numpy as jnp
         from ..engine import pipeline as P
         from ..ops.resize import cubic_resize_matrix_np
-        self._dev_l_win = jnp.asarray(self.l_win[..., None]
-                                      .astype(np.float32))
         bucket = 128
         hb = -(-rh // bucket) * bucket
         wb = -(-rw // bucket) * bucket

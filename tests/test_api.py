@@ -347,6 +347,11 @@ def test_prep_net_bfloat16_serving_mode():
     diff = np.abs(outs[None].astype(int) - outs["bfloat16"].astype(int))
     assert diff.mean() < 3.0
 
+    d = api.ColorizeImageJaxDist(Xd=64)
+    d.prep_net(path='', dtype="bfloat16")
+    d.set_image(img)
+    assert d.net_forward(ab, mask).shape == (2, 64, 64)
+
     c = api.ColorizeImageJaxCaffeDist(Xd=64)
     c.prep_net(None, dtype="bfloat16")
     assert c.params["bw_conv1_1.weight"].dtype == jnp.bfloat16

@@ -107,3 +107,27 @@ def test_bad_requests(server):
     assert status("POST", "/colorize_batch", b"junk") == 400
     assert status("GET", "/nope") == 404
     assert status("POST", "/nope", b"") == 404
+
+
+def test_edge_hints_are_clamped_not_dropped(server):
+    """A hint at y=0/x=0 must still land (negative slice starts would
+    silently write nothing); malformed hints get a 400."""
+    import json as _json
+    _img, body = _png_bytes(64, 64)
+    c = _conn(server)
+    c.request("POST", "/colorize?fullres=0", body=body)
+    plain = cv2.imdecode(np.frombuffer(c.getresponse().read(), np.uint8),
+                         cv2.IMREAD_COLOR)
+    hints = [{"y": 0, "x": 0, "ab": [50.0, 40.0], "radius": 3}]
+    c.request("POST", "/colorize?fullres=0", body=body,
+              headers={"X-Hints": _json.dumps(hints)})
+    hinted = cv2.imdecode(np.frombuffer(c.getresponse().read(), np.uint8),
+                          cv2.IMREAD_COLOR)
+    assert not np.array_equal(plain, hinted)
+    for bad in ({"y": 0}, [{"y": 0, "x": 0, "ab": [1, 2], "radius": 99}],
+                [{"y": 0, "x": 0}]):
+        c.request("POST", "/colorize?fullres=0", body=body,
+                  headers={"X-Hints": _json.dumps(bad)})
+        r = c.getresponse()
+        r.read()
+        assert r.status == 400
