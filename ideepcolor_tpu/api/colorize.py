@@ -104,6 +104,27 @@ class ColorizeImageBase:
         self.img_just_set = False
         self._output_rgb_np = None
         self._dev_output_rgb = None
+        self._lab_fullres_np = None
+        self._fullres_hw = None
+
+    # Full-res Lab numpy mirrors materialize lazily: the device holds the
+    # bucket-padded Lab planes (all the fused getters need), and the
+    # ~HxWx3 f32 readback only happens if host code actually reads them.
+    @property
+    def img_lab_fullres(self):
+        if self._lab_fullres_np is None:
+            H, W = self._fullres_hw
+            self._lab_fullres_np = np.asarray(
+                self._dev_lab_fullres_pad)[:H, :W].transpose(2, 0, 1)
+        return self._lab_fullres_np
+
+    @property
+    def img_l_fullres(self):
+        return self.img_lab_fullres[[0]]
+
+    @property
+    def img_ab_fullres(self):
+        return self.img_lab_fullres[1:]
 
     # ``output_rgb`` materializes lazily: click programs assign the device
     # array (async host copy starts immediately), and the ~196 KB tunnel
@@ -275,7 +296,7 @@ class ColorizeImageBase:
         if out is None:
             return -1
         rgb, out_ab = out
-        H, W = self.img_l_fullres.shape[1:]
+        H, W = self._fullres_hw
         full = P.fullres_fuse_bucketed(
             self._dev_l_fullres_pad, out_ab, self._dev_rh, self._dev_rw)
         self._dev_output_ab = out_ab
@@ -308,7 +329,7 @@ class ColorizeImageBase:
         return lab2rgb_transpose(self.img_l, z)
 
     def get_img_gray_fullres(self):
-        h, w = self.img_l_fullres.shape[1:]
+        h, w = self._fullres_hw
         return lab2rgb_transpose(self.img_l_fullres,
                                  np.zeros((2, h, w), np.float32))
 
@@ -323,7 +344,7 @@ class ColorizeImageBase:
         """Bucketed full-res fusion: one compiled program per
         (bucket, Xd) pair serves every image resolution (the interpolation
         matrices are data); the padded frame is cropped host-side."""
-        H, W = self.img_l_fullres.shape[1:]
+        H, W = self._fullres_hw
         out = np.asarray(P.fullres_fuse_bucketed(
             self._dev_l_fullres_pad, ab_dev, self._dev_rh, self._dev_rw))
         return out[:H, :W]
@@ -336,7 +357,7 @@ class ColorizeImageBase:
                                  np.zeros((2, self.Xd, self.Xd), np.float32))
 
     def get_img_mask_fullres(self):
-        H, W = self.img_l_fullres.shape[1:]
+        H, W = self._fullres_hw
         out = np.asarray(P.mask_fullres_bucketed(
             jnp.asarray(self.input_mask.transpose(1, 2, 0)),
             self._dev_rh0, self._dev_rw0))
@@ -346,7 +367,7 @@ class ColorizeImageBase:
         return lab2rgb_transpose(50 * self.input_mask, self.input_ab)
 
     def get_sup_fullres(self):
-        H, W = self.img_l_fullres.shape[1:]
+        H, W = self._fullres_hw
         planes = jnp.asarray(
             np.concatenate([self.input_mask, self.input_ab], 0)
             .transpose(1, 2, 0))
@@ -364,21 +385,31 @@ class ColorizeImageBase:
                 jnp.asarray(self.img_rgb_fullres, jnp.float32), out_hw,
                 order=1)).astype(self.img_rgb_fullres.dtype)
 
-        rgb01 = _to_float01(self.img_rgb_fullres)
-        lab = np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb01)))
-        self.img_lab_fullres = lab.transpose(2, 0, 1)
-        self.img_l_fullres = self.img_lab_fullres[[0]]
-        self.img_ab_fullres = self.img_lab_fullres[1:]
-        self._dev_l_fullres = jnp.asarray(lab[..., :1])
-        # bucketed full-res state: padded L plane + data interpolation
-        # matrices (one compiled fusion program per bucket, not per image)
+        # rgb->lab runs on the BUCKET-padded frame so loading a new image
+        # resolution reuses one compiled program per bucket instead of
+        # compiling per exact size (the pad is black: Lab (0,0,0), exactly
+        # the zero padding the bucketed fusion programs expect). uint8
+        # sources upload as uint8 (4x fewer bytes) and dequantize on
+        # device; the Lab planes stay device-resident and the numpy
+        # mirrors (img_lab_fullres & co) materialize lazily.
         from ..ops.resize import (linear_resize_matrix_np,
                                   nearest_resize_matrix_np)
-        H, W = lab.shape[:2]
+        src = self.img_rgb_fullres
+        H, W = src.shape[:2]
         Hb, Wb = P.bucket_size(H), P.bucket_size(W)
-        l_pad = np.zeros((Hb, Wb, 1), np.float32)
-        l_pad[:H, :W] = lab[..., :1]
-        self._dev_l_fullres_pad = jnp.asarray(l_pad)
+        if src.dtype == np.uint8:
+            rgb_pad = np.zeros((Hb, Wb, 3), np.uint8)
+            rgb_pad[:H, :W] = src
+            lab_pad = P.rgb_to_lab_dev_u8(jnp.asarray(rgb_pad))
+        else:
+            rgb_pad = np.zeros((Hb, Wb, 3), np.float32)
+            rgb_pad[:H, :W] = _to_float01(src)
+            lab_pad = P.rgb_to_lab_dev(jnp.asarray(rgb_pad))
+        self._fullres_hw = (H, W)
+        self._dev_lab_fullres_pad = lab_pad
+        self._lab_fullres_np = None
+        # padded L plane stays device-resident for the fused getters
+        self._dev_l_fullres_pad = lab_pad[..., :1]
         self._dev_rh = jnp.asarray(
             linear_resize_matrix_np(self.Xd, H, Hb))
         self._dev_rw = jnp.asarray(

@@ -1,0 +1,113 @@
+"""Recompilation guards for the interactive hot paths.
+
+A recompile mid-session costs 15-25 s on a tunneled TPU (CLAUDE.md), so
+the click/table/getter programs are bucketed and shape-static by design:
+loading a NEW image of a different resolution (same bucket) or clicking
+with different hint counts must reuse compiled programs. These tests pin
+that invariant by capturing jax's compile logs.
+"""
+import logging
+
+import numpy as np
+import pytest
+
+import jax
+
+from ideepcolor_tpu import api
+from ideepcolor_tpu.ops import hints as oh
+
+
+class _CompileLog(logging.Handler):
+    def __init__(self):
+        super().__init__()
+        self.messages = []
+
+    def emit(self, record):
+        self.messages.append(record.getMessage())
+
+    # single-primitive utility jits (array staging like [None]/astype on a
+    # new shape) compile in sub-ms and are not session programs
+    _TRIVIAL = ("broadcast_in_dim", "convert_element_type", "copy",
+                "transpose", "reshape", "squeeze", "concatenate", "slice",
+                "multiply", "true_divide", "_uint8")
+
+    def compiles(self):
+        out = []
+        for m in self.messages:
+            if not m.startswith("Compiling jit("):
+                continue
+            name = m[len("Compiling jit("):].split(")")[0]
+            if name not in self._TRIVIAL:
+                out.append(m)
+        return out
+
+
+@pytest.fixture
+def compile_log():
+    handler = _CompileLog()
+    logger = logging.getLogger("jax")
+    old = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(handler)
+    try:
+        yield handler
+    finally:
+        logger.removeHandler(handler)
+        jax.config.update("jax_log_compiles", old)
+
+
+def _rand_image(seed, h, w):
+    rng = np.random.default_rng(seed)
+    return (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+
+def test_no_recompile_across_images_and_clicks(compile_log):
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [20, 20, 24, 24]; vals[0] = [35.0, -25.0]
+
+    # warm EVERYTHING on image A (200x220: pads to the 256x256 bucket)
+    m.load_image_array(_rand_image(1, 200, 220))
+    m.net_forward_table(boxes, vals, 1)
+    m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    m.net_forward_fullres(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    m.get_img_fullres()
+    m.get_img_mask_fullres()
+    m.get_sup_fullres()
+
+    compile_log.messages.clear()
+    # image B: different content AND different resolution within the same
+    # 256-bucket; more hints; every getter again
+    m.load_image_array(_rand_image(2, 240, 250))
+    boxes[1] = [40, 10, 42, 12]; vals[1] = [-15.0, 55.0]
+    m.net_forward_table(boxes, vals, 2)
+    m.net_forward_table(boxes, vals, 1)
+    m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    m.net_forward_fullres(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
+    m.get_img_fullres()
+    m.get_img_mask_fullres()
+    m.get_sup_fullres()
+    assert compile_log.compiles() == []
+
+
+def test_streaming_no_recompile_on_hint_swap(compile_log):
+    from ideepcolor_tpu.engine.streaming import StreamingSession
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    sess = StreamingSession(params, size=32, depth=1, with_dist=False)
+    rng = np.random.default_rng(3)
+    frame = rng.uniform(0, 100, (32, 32)).astype(np.float32)
+    sess.submit(frame)
+    list(sess.drain())
+
+    compile_log.messages.clear()
+    hint_ab = np.zeros((32, 32, 2), np.float32)
+    hint_mask = np.zeros((32, 32, 1), np.float32)
+    hint_ab[3:5, 3:5] = [20, -40]; hint_mask[3:5, 3:5] = 1
+    sess.set_hints(hint_ab, hint_mask)     # swap hints between frames
+    sess.submit(frame)
+    sess.submit(rng.uniform(0, 100, (32, 32)).astype(np.float32))
+    list(sess.drain())
+    assert compile_log.compiles() == []
