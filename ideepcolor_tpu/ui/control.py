@@ -26,6 +26,34 @@ import numpy as np
 from ..ops import colorspace as cs
 from ..ops.hints import MAX_HINTS
 
+# Fixed-shape jitted rgb->lab for hint colors: ONE device dispatch per
+# batch of new colors. (Calling cs.rgb_to_lab eagerly per edit costs ~20
+# op-by-op dispatches per hint per click over a tunneled device — the
+# per-click latency grew linearly with the edit count before this.)
+_hint_rgb2lab = None
+_hint_lab_cache: dict[tuple, np.ndarray] = {}
+
+
+def _lab_for_colors(colors: list[tuple]) -> None:
+    """Fill the color->Lab cache for any uncached (r,g,b) uint8 tuples,
+    with one fixed-shape device call for the whole batch."""
+    global _hint_rgb2lab
+    missing = [c for c in dict.fromkeys(colors) if c not in _hint_lab_cache]
+    if not missing:
+        return
+    if _hint_rgb2lab is None:
+        import jax
+        _hint_rgb2lab = jax.jit(cs.rgb_to_lab)
+    arr = np.zeros((MAX_HINTS, 1, 3), np.float32)
+    arr[:len(missing), 0] = np.asarray(missing, np.float32) / 255.0
+    labs = np.asarray(_hint_rgb2lab(arr))
+    for c, lab in zip(missing, labs[:len(missing), 0]):
+        _hint_lab_cache[c] = lab
+    if len(_hint_lab_cache) > 4096:        # bounded: colors are 24-bit
+        _hint_lab_cache.clear()
+        for c, lab in zip(missing, labs[:len(missing), 0]):
+            _hint_lab_cache[c] = lab
+
 
 @dataclasses.dataclass
 class PointEdit:
@@ -129,14 +157,13 @@ class UIControl:
         n = min(len(self.userEdits), MAX_HINTS)
         max_width = max(self.img_size)
         scale = float(max_width) / self.load_size
+        _lab_for_colors([tuple(ue.color) for ue in self.userEdits[:n]])
         for i, ue in enumerate(self.userEdits[:n]):
             w = int(ue.width / scale)
             x1, y1 = self.scale_point(ue.pnt[0], ue.pnt[1], -w)
             x2, y2 = self.scale_point(ue.pnt[0], ue.pnt[1], w)
             boxes[i] = [y1, x1, y2, x2]
-            rgb = np.asarray(ue.color, np.float32) / 255.0
-            lab = np.asarray(cs.rgb_to_lab(rgb[None, None, :]))[0, 0]
-            vals[i] = lab[1:]
+            vals[i] = _hint_lab_cache[tuple(ue.color)][1:]
         return boxes, vals, n
 
     def get_input(self):

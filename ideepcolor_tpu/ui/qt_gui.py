@@ -267,10 +267,17 @@ class GUIDraw(QWidget):
         self._t_click = self.timer.stage("click_to_frame")
         self._t_click.__enter__()
         boxes, vals, n = self.uiControl.hint_table()
-        # fused click+window program: both frames in one dispatch
-        win = self.model.net_forward_table_win(
-            boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
-            self._dev_win_rw)
+        if n < len(self.uiControl.userEdits):
+            # more edits than table slots: the dense parity path below
+            # rasterizes ALL of them (silently dropping the overflow
+            # would diverge from the reference's draw-every-edit
+            # semantics, ref ui/ui_control.py:177-187)
+            win = -1
+        else:
+            # fused click+window program: both frames in one dispatch
+            win = self.model.net_forward_table_win(
+                boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
+                self._dev_win_rw)
         if not (np.isscalar(win) and win == -1):
             self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
             self.im_ab0 = self.model.input_ab
@@ -279,7 +286,9 @@ class GUIDraw(QWidget):
             self._t_click.__exit__(None, None, None)
             self.update()
             return
-        out = self.model.net_forward_table(boxes, vals, n)
+        out = -1
+        if n == len(self.uiControl.userEdits):
+            out = self.model.net_forward_table(boxes, vals, n)
         if np.isscalar(out) and out == -1:
             im, mask = self.uiControl.get_input()
             im_lab = rgb2lab_transpose(im)

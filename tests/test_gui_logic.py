@@ -176,3 +176,27 @@ def test_window_frame_is_inter_cubic_parity(gui):
     diff = np.abs(draw.result.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+def test_more_edits_than_table_slots_fall_back_to_dense(gui):
+    """With more edits than the 64-slot hint table, the GUI must
+    rasterize ALL of them via the dense parity path instead of silently
+    dropping the overflow (ref draws every edit, ui/ui_control.py:177)."""
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    draw = gui[1]
+    draw.uiControl.reset()
+    rng = np.random.default_rng(9)
+    for i in range(MAX_HINTS + 6):
+        x = int(rng.uniform(10, draw.win_w - 10))
+        y = int(rng.uniform(10, draw.win_h - 10))
+        draw.uiControl.addPoint((x, y), (200, 30, 30), (200, 30, 30), 2)
+    assert len(draw.uiControl.userEdits) > MAX_HINTS
+    draw.compute_result()
+    # the mask mirror must cover every edit the dense rasterizer draws
+    im, mask = draw.uiControl.get_input()
+    want = (mask[..., 0] > 0)
+    got = draw.im_mask0[0] > 0
+    assert np.array_equal(got, want)
+    assert want.sum() > 0
+    draw.uiControl.reset()
+    draw.compute_result()
