@@ -12,10 +12,17 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import colorspace as _cs
 from ..ops import gamut as _gamut
+
+# jitted single-color converters: calling the colorspace ops eagerly on a
+# (3,) array dispatches every op as a separate device RPC (~20 per call
+# on a tunneled TPU, once per GUI color pick); jitted they are one.
+_rgb2lab_j = jax.jit(_cs.rgb_to_lab)
+_lab2rgb_j = jax.jit(_cs.lab_to_rgb)
 
 
 def rgb2lab_1d(in_rgb) -> np.ndarray:
@@ -23,12 +30,12 @@ def rgb2lab_1d(in_rgb) -> np.ndarray:
     rgb = np.asarray(in_rgb, np.float64)
     if rgb.max() > 1.0 or np.asarray(in_rgb).dtype == np.uint8:
         rgb = rgb / 255.0
-    return np.asarray(_cs.rgb_to_lab(jnp.asarray(rgb, jnp.float32)))
+    return np.asarray(_rgb2lab_j(jnp.asarray(rgb, jnp.float32)))
 
 
 def lab2rgb_1d(in_lab, clip: bool = True, dtype: str = "uint8"):
     """1-d Lab -> RGB (ref data/lab_gamut.py:18-25)."""
-    rgb = np.asarray(_cs.lab_to_rgb(jnp.asarray(in_lab, jnp.float32)))
+    rgb = np.asarray(_lab2rgb_j(jnp.asarray(in_lab, jnp.float32)))
     if clip:
         rgb = np.clip(rgb, 0, 1)
     if dtype == "uint8":
