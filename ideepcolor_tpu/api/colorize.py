@@ -113,6 +113,9 @@ class ColorizeImageBase:
     @property
     def img_lab_fullres(self):
         if self._lab_fullres_np is None:
+            if self._fullres_hw is None:
+                raise RuntimeError(
+                    "no image loaded (call load_image/set_image first)")
             H, W = self._fullres_hw
             self._lab_fullres_np = np.asarray(
                 self._dev_lab_fullres_pad)[:H, :W].transpose(2, 0, 1)
@@ -329,9 +332,13 @@ class ColorizeImageBase:
         return lab2rgb_transpose(self.img_l, z)
 
     def get_img_gray_fullres(self):
-        h, w = self._fullres_hw
-        return lab2rgb_transpose(self.img_l_fullres,
-                                 np.zeros((2, h, w), np.float32))
+        # bucketed: composes from the device-resident padded L plane (no
+        # full Lab readback, no per-resolution recompile)
+        H, W = self._fullres_hw
+        l_pad = self._dev_l_fullres_pad
+        out = np.asarray(P.compose_rgb_u8(
+            l_pad, jnp.zeros(l_pad.shape[:2] + (2,), jnp.float32)))
+        return out[:H, :W]
 
     def get_img_fullres(self):
         return self._fullres_from_ab(self._dev_output_ab)

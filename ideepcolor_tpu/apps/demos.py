@@ -82,6 +82,8 @@ def demo_global_histogram(img_path: str, ref_path: str, weights: str = '',
 
 
 def main(argv=None):
+    from ..config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import sys
     argv = argv if argv is not None else sys.argv[1:]
     img = argv[0] if argv else '/root/reference/test_imgs/mortar_pestle.jpg'

@@ -90,6 +90,8 @@ def build_models(args):
 
 
 def main(argv=None):
+    from ..config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     args = parse_args(argv)
     for k, v in sorted(vars(args).items()):
         print(f'{k}: {v}')

@@ -198,6 +198,8 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default=None,
                    help="serving precision, e.g. bfloat16 (fast MXU mode)")
     args = p.parse_args(argv)
+    from ..config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     srv = make_server(port=args.port, host=args.host,
                       weights=args.weights, size=args.load_size,
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,

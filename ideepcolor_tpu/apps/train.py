@@ -35,6 +35,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ideepcolor_tpu.config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax
     import jax.numpy as jnp
 

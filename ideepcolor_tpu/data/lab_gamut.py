@@ -21,16 +21,17 @@ from ..ops import gamut as _gamut
 # jitted single-color converters: calling the colorspace ops eagerly on a
 # (3,) array dispatches every op as a separate device RPC (~20 per call
 # on a tunneled TPU, once per GUI color pick); jitted they are one.
-_rgb2lab_j = jax.jit(_cs.rgb_to_lab)
+# rgb->lab reuses the shared engine.pipeline.rgb_to_lab_dev program.
 _lab2rgb_j = jax.jit(_cs.lab_to_rgb)
 
 
 def rgb2lab_1d(in_rgb) -> np.ndarray:
     """1-d uint8-scale RGB -> Lab (ref data/lab_gamut.py:12-15)."""
+    from ..engine.pipeline import rgb_to_lab_dev
     rgb = np.asarray(in_rgb, np.float64)
     if rgb.max() > 1.0 or np.asarray(in_rgb).dtype == np.uint8:
         rgb = rgb / 255.0
-    return np.asarray(_rgb2lab_j(jnp.asarray(rgb, jnp.float32)))
+    return np.asarray(rgb_to_lab_dev(jnp.asarray(rgb, jnp.float32)))
 
 
 def lab2rgb_1d(in_lab, clip: bool = True, dtype: str = "uint8"):

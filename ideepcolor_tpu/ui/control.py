@@ -23,36 +23,31 @@ import dataclasses
 
 import numpy as np
 
-from ..ops import colorspace as cs
 from ..ops.hints import MAX_HINTS
 
 # Fixed-shape jitted rgb->lab for hint colors: ONE device dispatch per
 # batch of new colors. (Calling cs.rgb_to_lab eagerly per edit costs ~20
 # op-by-op dispatches per hint per click over a tunneled device — the
 # per-click latency grew linearly with the edit count before this.)
-_hint_rgb2lab = None
 _hint_lab_cache: dict[tuple, np.ndarray] = {}
 
 
 def _lab_for_colors(colors: list[tuple]) -> None:
     """Fill the color->Lab cache for any uncached (r,g,b) uint8 tuples,
     with one fixed-shape device call for the whole batch."""
-    global _hint_rgb2lab
-    missing = [c for c in dict.fromkeys(colors) if c not in _hint_lab_cache]
+    from ..engine.pipeline import rgb_to_lab_dev
+    needed = list(dict.fromkeys(colors))           # <= MAX_HINTS entries
+    missing = [c for c in needed if c not in _hint_lab_cache]
     if not missing:
         return
-    if _hint_rgb2lab is None:
-        import jax
-        _hint_rgb2lab = jax.jit(cs.rgb_to_lab)
+    if len(_hint_lab_cache) + len(missing) > 4096:  # bounded cache:
+        _hint_lab_cache.clear()                     # evict BEFORE insert,
+        missing = needed                            # keep this call's set
     arr = np.zeros((MAX_HINTS, 1, 3), np.float32)
     arr[:len(missing), 0] = np.asarray(missing, np.float32) / 255.0
-    labs = np.asarray(_hint_rgb2lab(arr))
+    labs = np.asarray(rgb_to_lab_dev(arr))
     for c, lab in zip(missing, labs[:len(missing), 0]):
         _hint_lab_cache[c] = lab
-    if len(_hint_lab_cache) > 4096:        # bounded: colors are 24-bit
-        _hint_lab_cache.clear()
-        for c, lab in zip(missing, labs[:len(missing), 0]):
-            _hint_lab_cache[c] = lab
 
 
 @dataclasses.dataclass

@@ -266,14 +266,18 @@ class GUIDraw(QWidget):
         # reference-parity path for backends without a table program.
         self._t_click = self.timer.stage("click_to_frame")
         self._t_click.__enter__()
-        boxes, vals, n = self.uiControl.hint_table()
-        if n < len(self.uiControl.userEdits):
-            # more edits than table slots: the dense parity path below
-            # rasterizes ALL of them (silently dropping the overflow
-            # would diverge from the reference's draw-every-edit
-            # semantics, ref ui/ui_control.py:177-187)
+        from ..ops.hints import MAX_HINTS
+        if len(self.uiControl.userEdits) > MAX_HINTS:
+            # more edits than table slots: don't build the table at all —
+            # the dense parity path below rasterizes ALL of them
+            # (silently dropping the overflow would diverge from the
+            # reference's draw-every-edit semantics,
+            # ref ui/ui_control.py:177-187)
+            boxes = vals = None
+            n = -1
             win = -1
         else:
+            boxes, vals, n = self.uiControl.hint_table()
             # fused click+window program: both frames in one dispatch
             win = self.model.net_forward_table_win(
                 boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,

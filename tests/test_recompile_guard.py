@@ -74,6 +74,7 @@ def test_no_recompile_across_images_and_clicks(compile_log):
     m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
     m.net_forward_fullres(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
     m.get_img_fullres()
+    m.get_img_gray_fullres()
     m.get_img_mask_fullres()
     m.get_sup_fullres()
 
@@ -87,6 +88,7 @@ def test_no_recompile_across_images_and_clicks(compile_log):
     m.net_forward(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
     m.net_forward_fullres(np.zeros((2, 64, 64)), np.zeros((1, 64, 64)))
     m.get_img_fullres()
+    m.get_img_gray_fullres()
     m.get_img_mask_fullres()
     m.get_sup_fullres()
     assert compile_log.compiles() == []
