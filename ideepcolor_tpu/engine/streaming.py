@@ -50,6 +50,19 @@ def _stream_step_u8(params, gray_u8, hint_ab, hint_mask, maskcent):
     return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent)
 
 
+@jax.jit
+def _stream_step_u8_srgb(params, gray_u8, hint_ab, hint_mask, maskcent):
+    """uint8 sRGB gray-frame variant: computes the true L* of the gray
+    value on device (the tone curve the reference applies when it loads a
+    grayscale image through rgb2lab, ref data/colorize_image.py:27-37) —
+    use this for real video/camera sources; the linear ``_stream_step_u8``
+    is for sources that already carry L in [0,100] quantized to 8 bits."""
+    g = gray_u8.astype(jnp.float32) / 255.0
+    rgb = jnp.concatenate([g, g, g], axis=-1)
+    l_raw = cs.rgb_to_lab(rgb)[..., :1]
+    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent)
+
+
 class StreamingSession:
     """Pipelined hint-persistent colorization of an L-frame stream.
 
@@ -79,15 +92,17 @@ class StreamingSession:
         self._hint_ab = jnp.asarray(hint_ab, jnp.float32)[None]
         self._hint_mask = jnp.asarray(hint_mask, jnp.float32)[None]
 
-    def submit(self, l_frame: np.ndarray):
+    def submit(self, l_frame: np.ndarray, srgb: bool = False):
         """l_frame (H,W): raw L in [0,100] (float), or a uint8 gray frame
-        (dequantized to L on device — 4x fewer upload bytes). Returns a
-        completed (rgb_u8, dist) pair once the pipeline is primed, else
-        None."""
+        (dequantized to L on device — 4x fewer upload bytes; with
+        ``srgb=True`` the gray value is interpreted as sRGB and converted
+        to true L*). Returns a completed (rgb_u8, dist) pair once the
+        pipeline is primed, else None."""
         if getattr(l_frame, "dtype", None) == np.uint8:
             g = jnp.asarray(l_frame)[None, ..., None]
-            out = _stream_step_u8(self.params, g, self._hint_ab,
-                                  self._hint_mask, self.maskcent)
+            step = _stream_step_u8_srgb if srgb else _stream_step_u8
+            out = step(self.params, g, self._hint_ab,
+                       self._hint_mask, self.maskcent)
         else:
             l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
             out = _stream_step(self.params, l, self._hint_ab,
