@@ -532,14 +532,13 @@ class ColorizeImageJax(ColorizeImageBase):
             return -1
         A = self._dev_l_mc[None]
         if self.dist:
-            B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
-            M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
-        if self.dist:
             # Reference dist backend returns the raw (double-110-scaled)
             # regression array and does NOT compose an RGB frame
             # (ref data/colorize_image.py:297-320). The distribution is
             # kept at Xd/4 on device (nearest-x4 lookups are index
             # mappings; see models/siggraph.py dist_lowres).
+            B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
+            M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
             reg2, dist_cl = siggraph.apply(self.params, A, B, M,
                                            self.mask_cent, dist=True,
                                            dist_lowres=True)
@@ -577,8 +576,8 @@ class ColorizeImageJaxDist(ColorizeImageJax):
 
     def net_forward(self, input_ab, input_mask):
         out = super().net_forward(input_ab, input_mask)
-        if np.array(out).flatten()[0] == -1:
-            return -1
+        if np.isscalar(out) and out == -1:   # precondition failure only —
+            return -1                        # never test the float output
         self.dist_ab_set = True
         self._dist_np = None          # numpy mirrors are lazy (134MB readback)
         return out
@@ -738,6 +737,11 @@ class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
 
         self._click = P.make_click_program(fwd)
 
+    def _dispatch_click(self):
+        # the glob click program needs the histogram argument; the base
+        # fused forward+fullres path can't drive it -> sentinel -1
+        return None
+
 
 class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
     """Caffe dist-graph backend with suggestions (ref :466-561)."""
@@ -772,6 +776,11 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
             return rgb, P.requantized_ab(rgb), dist_S[0]
 
         self._click = click
+
+    def _dispatch_click(self):
+        # the dist click program returns 3 outputs; the base fused
+        # forward+fullres path expects (rgb, ab) -> sentinel -1
+        return None
 
     def net_forward(self, input_ab, input_mask):
         if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:

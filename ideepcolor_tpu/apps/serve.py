@@ -62,7 +62,7 @@ class ColorizeService:
     def colorize(self, img_bytes: bytes, hints=None,
                  fullres: bool = True) -> bytes:
         import cv2
-        from ..ops.hints import put_point
+        from ..ops.hints import put_points_json
         raw = np.frombuffer(img_bytes, np.uint8)
         bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
         if bgr is None:
@@ -70,18 +70,7 @@ class ColorizeService:
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         ab = np.zeros((2, self.size, self.size), np.float32)
         mask = np.zeros((1, self.size, self.size), np.float32)
-        if hints is not None and not isinstance(hints, list):
-            raise ValueError("X-Hints must be a JSON list of point dicts")
-        for h in hints or []:
-            p = int(h.get("radius", 3))
-            if not 0 <= p < self.size // 2:
-                raise ValueError(f"hint radius {p} out of range")
-            # clamp so the patch stays in-image (negative slice starts
-            # would silently write nothing)
-            y = min(max(int(h["y"]), p), self.size - 1 - p)
-            x = min(max(int(h["x"]), p), self.size - 1 - p)
-            put_point(ab, mask, [y, x], p,
-                      [float(h["ab"][0]), float(h["ab"][1])])
+        put_points_json(ab, mask, hints, self.size)
         with self.lock:
             self.requests += 1
             self.model.load_image_array(rgb)

@@ -111,7 +111,7 @@ def run(args) -> int:
     from ..api.colorize import _load_checkpoint
     from ..engine.streaming import StreamingSession
     from ..models import siggraph
-    from ..ops.hints import put_point
+    from ..ops.hints import put_points_json
 
     sd = _load_checkpoint(args.weights)
     if sd is None:
@@ -130,10 +130,7 @@ def run(args) -> int:
     if args.hints:
         ab = np.zeros((2, args.size, args.size), np.float32)
         mask = np.zeros((1, args.size, args.size), np.float32)
-        for h in json.load(open(args.hints)):
-            put_point(ab, mask, [int(h["y"]), int(h["x"])],
-                      int(h.get("radius", 3)),
-                      [float(h["ab"][0]), float(h["ab"][1])])
+        put_points_json(ab, mask, json.load(open(args.hints)), args.size)
         sess.set_hints(ab.transpose(1, 2, 0), mask.transpose(1, 2, 0))
 
     sink = _FrameSink(args.out, args.size, args.fps)

@@ -27,24 +27,17 @@ class ColorizeConfig:
     Xfullres_max: int = 10000
 
     # distribution temperatures (ref deploy_nopred.prototxt:806-850 and
-    # prep_net S=.2, data/colorize_image.py:482-485)
+    # prep_net S=.2, data/colorize_image.py:482-485). Suggestion-sampling
+    # K/N are per-call arguments of get_ab_reccs, like the reference.
     temp_suggest: float = 0.2          # scale_S — suggestion softmax
     temp_point: float = 2.6            # scale_T — annealed-mean estimate
 
-    # suggestion sampling (ref data/colorize_image.py:511-543;
-    # the GUI asks K=9, ui/gui_draw.py:184)
-    suggest_K: int = 5
-    suggest_N: int = 25000
-
     # execution
-    precision: str = "highest"         # 'highest' (parity) | 'default'
-    serve_dtype: str = "float32"       # 'float32' | 'bfloat16'
-    pipeline_depth: int = 2            # streaming dispatch depth
+    serve_dtype: str = "float32"       # 'float32' | 'bfloat16' (MXU mode)
 
     def validate(self) -> "ColorizeConfig":
         assert self.backend in ("siggraph", "caffe"), self.backend
         assert self.variant in ("main", "dist", "global"), self.variant
-        assert self.precision in ("highest", "default")
         assert self.serve_dtype in ("float32", "bfloat16")
         assert self.Xd % 8 == 0, "Xd must be divisible by 8 (3 subsamples)"
         return self
@@ -54,10 +47,11 @@ def make_backend(cfg: ColorizeConfig):
     """Instantiate the API backend described by a config."""
     from . import api
     cfg.validate()
+    dtype = None if cfg.serve_dtype == "float32" else cfg.serve_dtype
     if cfg.backend == "siggraph":
         cls = api.ColorizeImageJaxDist if cfg.dist else api.ColorizeImageJax
         m = cls(Xd=cfg.Xd, maskcent=cfg.maskcent)
-        m.prep_net(path=cfg.checkpoint)
+        m.prep_net(path=cfg.checkpoint, dtype=dtype)
     else:
         cls = {"main": api.ColorizeImageJaxCaffe,
                "dist": api.ColorizeImageJaxCaffeDist,
@@ -65,14 +59,13 @@ def make_backend(cfg: ColorizeConfig):
         m = cls(Xd=cfg.Xd)
         if cfg.variant == "dist":
             m.prep_net(None, caffemodel_path=cfg.checkpoint,
-                       S=cfg.temp_suggest)
+                       S=cfg.temp_suggest, dtype=dtype)
+            import jax.numpy as jnp
+            m.params["scale_T.scale"] = jnp.asarray(cfg.temp_point,
+                                                    jnp.float32)
         else:
-            m.prep_net(None, caffemodel_path=cfg.checkpoint)
+            m.prep_net(None, caffemodel_path=cfg.checkpoint, dtype=dtype)
     m.Xfullres_max = cfg.Xfullres_max
-    if cfg.serve_dtype == "bfloat16":
-        import jax.numpy as jnp
-        m.params = {k: v.astype(jnp.bfloat16)
-                    for k, v in m.params.items()}
     return m
 
 

@@ -76,6 +76,9 @@ class abGrid:
     def update_gamut(self, l_in):
         key = round(float(l_in), 3)
         if key not in self._cache:
+            if len(self._cache) >= 512:    # bounded: ~200 KB per entry,
+                self._cache.clear()        # unbounded would grow all
+                                           # session (every pixel a new L)
             masked_rgb, mask = _gamut.ab_gamut_mask(
                 float(l_in), gamut_size=self.gamut_size, D=self.D)
             self._cache[key] = (np.asarray(masked_rgb), np.asarray(mask))

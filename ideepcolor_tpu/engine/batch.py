@@ -14,6 +14,7 @@ strictly batch-1 single-device — SURVEY.md section 2.4):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -84,11 +85,7 @@ def colorize_batch(params, images_rgb, hint_ab=None, hint_mask=None,
     hint_ab = jnp.asarray(hint_ab, jnp.float32)
     hint_mask = jnp.asarray(hint_mask, jnp.float32)
 
-    @jax.jit
-    def prep(x):
-        return cs.rgb_to_lab(x)[..., :1] - 50.0
-
-    l_mc = prep(imgs)
+    l_mc = _prep_l_mc(imgs)
     mc = jnp.float32(maskcent)
     if mesh is not None:
         fn, place = make_sharded_batch_forward(mesh)
@@ -102,14 +99,28 @@ def colorize_batch(params, images_rgb, hint_ab=None, hint_mask=None,
     return _np.asarray(rgb)
 
 
+# module-level jits: per-call wrappers would retrace/recompile the full
+# U-Net on EVERY request (15-25 s per compile on a tunneled chip)
+@jax.jit
+def _prep_l_mc(x):
+    return cs.rgb_to_lab(x)[..., :1] - 50.0
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_forward_for(mesh):
+    batch_s = pmesh.batch_sharding(mesh)
+    return jax.jit(batch_forward_frames,
+                   out_shardings=(batch_s, batch_s)), batch_s
+
+
 def make_sharded_batch_forward(mesh):
     """DP-sharded batched forward over a mesh: inputs sharded on 'data',
-    params replicated. Returns (fn, place_batch) helpers."""
-    batch_s = pmesh.batch_sharding(mesh)
+    params replicated. Returns (fn, place_batch) helpers. The jitted
+    forward is cached per mesh so repeated serving calls reuse one
+    compiled program."""
+    fn, batch_s = _sharded_forward_for(mesh)
 
     def place_batch(*arrays):
         return tuple(jax.device_put(a, batch_s) for a in arrays)
 
-    fn = jax.jit(batch_forward_frames,
-                 out_shardings=(batch_s, batch_s))
     return fn, place_batch

@@ -12,6 +12,7 @@ behind device compute.
 from __future__ import annotations
 
 from collections import deque
+from functools import partial
 
 import numpy as np
 
@@ -22,36 +23,48 @@ from ..models import siggraph
 from ..ops import colorspace as cs
 
 
-@jax.jit
-def _stream_step(params, l_raw, hint_ab, hint_mask, maskcent):
+@partial(jax.jit, static_argnames=("with_dist",))
+def _stream_step(params, l_raw, hint_ab, hint_mask, maskcent,
+                 with_dist=True):
     """One stream frame: raw (1,H,W,1) L in [0,100] -> (uint8 frame,
     529-bin suggestion distribution at H/4 resolution — point lookups at
     (h//4, w//4) equal the reference's x4-nearest-upsampled map, without
-    the 16x buffer blowup per frame)."""
-    reg2, dist = siggraph.apply(params, l_raw - 50.0, hint_ab, hint_mask,
-                                maskcent, dist=True,
-                                precision_name="default",
-                                dist_lowres=True)
-    ab = reg2 / 110.0                         # undo the dist-mode rescale
+    the 16x buffer blowup per frame). ``with_dist=False`` skips the
+    529-way class head entirely (pure-throughput sessions shouldn't pay
+    its conv+softmax per frame)."""
+    if with_dist:
+        reg2, dist = siggraph.apply(params, l_raw - 50.0, hint_ab,
+                                    hint_mask, maskcent, dist=True,
+                                    precision_name="default",
+                                    dist_lowres=True)
+        ab = reg2 / 110.0                     # undo the dist-mode rescale
+    else:
+        ab = siggraph.apply(params, l_raw - 50.0, hint_ab, hint_mask,
+                            maskcent, dist=False,
+                            precision_name="default")
+        dist = None
     rgb = cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab], axis=-1))
     # return batch-squeezed arrays: materialization must touch the SAME
     # array the async host copy was started on (slicing later would create
     # a new lazy computation and re-pay the round trip)
-    return rgb[0], dist[0]
+    return rgb[0], (None if dist is None else dist[0])
 
 
-@jax.jit
-def _stream_step_u8(params, gray_u8, hint_ab, hint_mask, maskcent):
+@partial(jax.jit, static_argnames=("with_dist",))
+def _stream_step_u8(params, gray_u8, hint_ab, hint_mask, maskcent,
+                    with_dist=True):
     """uint8 gray-frame variant: the dequant to L in [0,100] happens on
     device, so an 8-bit video source uploads a quarter of the bytes per
     frame (64 KB vs 256 KB at 256^2) — the stream is transfer-bound on
     PCIe/tunnel links, not compute-bound."""
     l_raw = gray_u8.astype(jnp.float32) * (100.0 / 255.0)
-    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent)
+    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent,
+                        with_dist=with_dist)
 
 
-@jax.jit
-def _stream_step_u8_srgb(params, gray_u8, hint_ab, hint_mask, maskcent):
+@partial(jax.jit, static_argnames=("with_dist",))
+def _stream_step_u8_srgb(params, gray_u8, hint_ab, hint_mask, maskcent,
+                         with_dist=True):
     """uint8 sRGB gray-frame variant: computes the true L* of the gray
     value on device (the tone curve the reference applies when it loads a
     grayscale image through rgb2lab, ref data/colorize_image.py:27-37) —
@@ -60,7 +73,8 @@ def _stream_step_u8_srgb(params, gray_u8, hint_ab, hint_mask, maskcent):
     g = gray_u8.astype(jnp.float32) / 255.0
     rgb = jnp.concatenate([g, g, g], axis=-1)
     l_raw = cs.rgb_to_lab(rgb)[..., :1]
-    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent)
+    return _stream_step(params, l_raw, hint_ab, hint_mask, maskcent,
+                        with_dist=with_dist)
 
 
 class StreamingSession:
@@ -102,11 +116,13 @@ class StreamingSession:
             g = jnp.asarray(l_frame)[None, ..., None]
             step = _stream_step_u8_srgb if srgb else _stream_step_u8
             out = step(self.params, g, self._hint_ab,
-                       self._hint_mask, self.maskcent)
+                       self._hint_mask, self.maskcent,
+                       with_dist=self.with_dist)
         else:
             l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
             out = _stream_step(self.params, l, self._hint_ab,
-                               self._hint_mask, self.maskcent)
+                               self._hint_mask, self.maskcent,
+                               with_dist=self.with_dist)
         # start the device->host copy immediately so materialization later
         # only waits on an already-running transfer (hides the readback
         # round trip behind subsequent frames' compute)

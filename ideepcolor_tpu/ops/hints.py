@@ -63,3 +63,25 @@ def put_point(input_ab: np.ndarray, mask: np.ndarray, loc, p, val):
         np.array(val)[:, np.newaxis, np.newaxis])
     mask[:, loc[0] - p:loc[0] + p + 1, loc[1] - p:loc[1] + p + 1] = 1
     return input_ab, mask
+
+
+def put_points_json(input_ab: np.ndarray, mask: np.ndarray, hints,
+                    size: int):
+    """Apply a serve/video-style hint list of {"y","x","ab":[a,b],
+    "radius"} dicts with validation and edge clamping (put_point's raw
+    negative slice starts would silently write nothing for points within
+    ``radius`` of the top/left edge). Raises ValueError on malformed
+    payloads; mutates the channel-first arrays in place."""
+    if hints is None:
+        return input_ab, mask
+    if not isinstance(hints, list):
+        raise ValueError("hints must be a JSON list of point dicts")
+    for h in hints:
+        p = int(h.get("radius", 3))
+        if not 0 <= p < size // 2:
+            raise ValueError(f"hint radius {p} out of range")
+        y = min(max(int(h["y"]), p), size - 1 - p)
+        x = min(max(int(h["x"]), p), size - 1 - p)
+        put_point(input_ab, mask, [y, x], p,
+                  [float(h["ab"][0]), float(h["ab"][1])])
+    return input_ab, mask

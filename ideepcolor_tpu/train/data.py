@@ -92,10 +92,15 @@ class ImageFolderLoader:
             rgb = np.stack(imgs)
             lab = host.rgb2lab(rgb.reshape(-1, 3)).reshape(rgb.shape)
             batch = {"l": lab[..., :1].copy(), "ab": lab[..., 1:].copy()}
-            try:
-                self._q.put(batch, timeout=1.0)
-            except queue.Full:
-                continue
+            # retry the SAME batch until consumed: rebuilding on a full
+            # queue would burn host CPU decoding batches nobody reads
+            # whenever the train step is the bottleneck
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    pass
 
     def __iter__(self):
         return self

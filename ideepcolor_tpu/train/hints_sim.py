@@ -26,7 +26,9 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
     Each of MAX_POINTS slots is alive with probability continuation
     (geometric number of revealed points, mean ~1/p_keep); each alive slot
     reveals a (2p+1)^2 patch, p ~ U{0..4}, centered at a clipped Gaussian
-    location, carrying the gt ab at its center pixel.
+    location, carrying the MEAN gt ab of its in-image area (the recipe's
+    average-patch hint; computed with fixed 9x9 dynamic-slice windows so
+    the sampler stays shape-static).
     """
     n, h, w, _ = gt_ab.shape
     k_alive, k_loc, k_size = jax.random.split(key, 3)
@@ -47,6 +49,8 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
+    PMAX = 4                                      # max half-width drawn
+
     def one(gt, loc_i, half_i, alive_i):
         inside = ((ys[None] >= (loc_i[:, 0] - half_i)[:, None, None])
                   & (ys[None] <= (loc_i[:, 0] + half_i)[:, None, None])
@@ -55,7 +59,23 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
                   & alive_i[:, None, None])
         mask = jnp.any(inside, axis=0)
         last = (MAX_POINTS - 1) - jnp.argmax(inside[::-1], axis=0)
-        vals = gt[loc_i[:, 0], loc_i[:, 1], :]       # ab at patch centers
+        # mean gt ab of each slot's in-image patch area: a fixed
+        # (2*PMAX+1)^2 window around the center, weighted by the live
+        # patch extent and the image bounds (no data-dependent shapes)
+        gtp = jnp.pad(gt, ((PMAX, PMAX), (PMAX, PMAX), (0, 0)))
+        dy = jnp.arange(-PMAX, PMAX + 1)
+
+        def patch_mean(y, x, p):
+            win = jax.lax.dynamic_slice(
+                gtp, (y, x, 0), (2 * PMAX + 1, 2 * PMAX + 1, 2))
+            in_patch = (jnp.abs(dy)[:, None] <= p) & (jnp.abs(dy)[None] <= p)
+            in_img = (((y + dy >= 0) & (y + dy <= h - 1))[:, None]
+                      & ((x + dy >= 0) & (x + dy <= w - 1))[None])
+            wgt = (in_patch & in_img).astype(jnp.float32)[..., None]
+            return jnp.sum(win * wgt, axis=(0, 1)) / jnp.maximum(
+                jnp.sum(wgt, axis=(0, 1)), 1.0)
+
+        vals = jax.vmap(patch_mean)(loc_i[:, 0], loc_i[:, 1], half_i)
         ab = jnp.where(mask[..., None], vals[last], 0.0)
         return ab, mask[..., None].astype(jnp.float32)
 

@@ -360,3 +360,16 @@ def test_prep_net_bfloat16_serving_mode():
     c.set_image(img)
     out = c.net_forward(ab, mask)
     assert not np.isscalar(out)
+
+
+def test_net_forward_fullres_sentinel_on_multi_output_backends():
+    """Backends whose click programs don't fit the (rgb, ab) contract must
+    return -1 from net_forward_fullres, not crash (serving checks
+    isinstance(result, int))."""
+    ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
+    for cls in (api.ColorizeImageJaxCaffeDist,
+                api.ColorizeImageJaxCaffeGlobDist):
+        m = cls(Xd=64)
+        m.prep_net(None)
+        m.set_image(_rand_image(19, 64, 64))
+        assert m.net_forward_fullres(ab, mask) == -1
