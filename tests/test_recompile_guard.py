@@ -113,3 +113,24 @@ def test_streaming_no_recompile_on_hint_swap(compile_log):
     sess.submit(rng.uniform(0, 100, (32, 32)).astype(np.float32))
     list(sess.drain())
     assert compile_log.compiles() == []
+
+
+def test_colorize_batch_no_retrace_across_requests(compile_log):
+    """Repeated serving calls (the HTTP batch endpoint) must reuse the
+    module-level jitted programs — per-call wrappers would recompile the
+    full U-Net on every request."""
+    from ideepcolor_tpu.engine.batch import colorize_batch
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0))
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    colorize_batch(params, imgs)                      # warm
+    compile_log.messages.clear()
+    colorize_batch(params, imgs)
+    colorize_batch(params, (rng.random((2, 32, 32, 3)) * 255)
+                   .astype(np.uint8))
+    assert compile_log.compiles() == []
+    # tracing (cheaper than compiling but still per-call work) must not
+    # recur either for the main forward
+    assert not any("tracing" in m and "batch_forward_frames" in m
+                   for m in compile_log.messages)
