@@ -131,3 +131,30 @@ def test_edge_hints_are_clamped_not_dropped(server):
         r = c.getresponse()
         r.read()
         assert r.status == 400
+
+
+def test_concurrent_requests_serialize_safely(server):
+    """Parallel clients hit the threaded server; the model lock must keep
+    results correct (each response matches the single-client result for
+    the same image)."""
+    import threading as _t
+    imgs = [_png_bytes(64, 64) for _ in range(4)]
+
+    def fetch(body):
+        c = _conn(server)
+        c.request("POST", "/colorize?fullres=0", body=body)
+        r = c.getresponse()
+        assert r.status == 200
+        return cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                            cv2.IMREAD_COLOR)
+
+    # sequential ground truth
+    want = [fetch(b) for _img, b in imgs]
+    got = [None] * 4
+    def worker(i):
+        got[i] = fetch(imgs[i][1])
+    ts = [_t.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts: t.start()
+    for t in ts: t.join()
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
