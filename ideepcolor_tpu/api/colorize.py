@@ -60,6 +60,15 @@ def _to_float01(img) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def _cast_params(params: dict, dtype) -> dict:
+    """Optional serving-precision cast (e.g. 'bfloat16', the fast MXU
+    mode; int8 was measured slower than bf16 on v5e — docs/ROADMAP.md)."""
+    if dtype is None:
+        return params
+    dt = jnp.dtype(dtype)
+    return {k: v.astype(dt) for k, v in params.items()}
+
+
 def _load_checkpoint(path: str) -> dict | None:
     if not path:
         return None
@@ -495,17 +504,9 @@ class ColorizeImageJax(ColorizeImageBase):
         'bfloat16' — the fast MXU mode, ~1-2 uint8 LSB from f32; int8 was
         measured slower than bf16 on v5e, see docs/ROADMAP.md)."""
         sd = _load_checkpoint(path)
-        if sd is None:
-            self.params = siggraph.init_params(jax.random.key(0))
-        elif np.asarray(sd["model1.0.weight"]).shape[-1] == 64:
-            # already-converted params (HWIO: kernel dims lead, out=64 last)
-            self.params = {k: jnp.asarray(v) for k, v in sd.items()}
-        else:
-            # raw torch state dict (OIHW) -> convert layouts
-            self.params = siggraph.from_torch_state_dict(sd)
-        if dtype is not None:
-            dt = jnp.dtype(dtype)
-            self.params = {k: v.astype(dt) for k, v in self.params.items()}
+        self.params = (siggraph.init_params(jax.random.key(0)) if sd is None
+                       else siggraph.params_from_state_dict(sd))
+        self.params = _cast_params(self.params, dtype)
         self.dist = dist
         if not dist:
             # hints travel as one (H,W,3) array = ab_mc + mask (a single
@@ -662,9 +663,7 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
                                                     self.variant)
             else:
                 self.params = {k: jnp.asarray(v) for k, v in sd.items()}
-        if dtype is not None:
-            dt = jnp.dtype(dtype)
-            self.params = {k: v.astype(dt) for k, v in self.params.items()}
+        self.params = _cast_params(self.params, dtype)
         self._make_click()
         self.net_set = True
 

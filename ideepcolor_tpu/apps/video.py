@@ -118,11 +118,7 @@ def run(args) -> int:
         import jax
         params = siggraph.init_params(jax.random.key(0))
     else:
-        import jax.numpy as jnp
-        if np.asarray(sd["model1.0.weight"]).shape[-1] == 64:
-            params = {k: jnp.asarray(v) for k, v in sd.items()}
-        else:
-            params = siggraph.from_torch_state_dict(sd)
+        params = siggraph.params_from_state_dict(sd)
 
     sess = StreamingSession(params, size=args.size,
                             maskcent=0.5 if args.maskcent else 0.0,

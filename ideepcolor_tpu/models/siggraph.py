@@ -121,6 +121,14 @@ def from_torch_state_dict(sd: Mapping[str, Any]) -> Params:
     return params
 
 
+def params_from_state_dict(sd: Mapping[str, Any]) -> Params:
+    """Accept either an already-converted param dict (HWIO: out-channel
+    64 last on the first conv) or a raw torch state dict (OIHW)."""
+    if np.asarray(sd["model1.0.weight"]).shape[-1] == 64:
+        return {k: jnp.asarray(v) for k, v in sd.items()}
+    return from_torch_state_dict(sd)
+
+
 def _block(params: Params, name: str, x: jax.Array,
            precision) -> jax.Array:
     """Apply one Sequential block: convs with ReLU between, optional BN.

@@ -41,6 +41,7 @@ except ImportError as e:  # pragma: no cover - import-gated
 import cv2
 
 from ..data import lab_gamut
+from ..ops.hints import MAX_HINTS
 from ..ui.control import UIControl
 
 
@@ -266,7 +267,6 @@ class GUIDraw(QWidget):
         # reference-parity path for backends without a table program.
         self._t_click = self.timer.stage("click_to_frame")
         self._t_click.__enter__()
-        from ..ops.hints import MAX_HINTS
         if len(self.uiControl.userEdits) > MAX_HINTS:
             # more edits than table slots: don't build the table at all —
             # the dense parity path below rasterizes ALL of them
