@@ -548,8 +548,8 @@ class ColorizeImageJax(ColorizeImageBase):
             # (ref data/colorize_image.py:297-320). The distribution is
             # kept at Xd/4 on device (nearest-x4 lookups are index
             # mappings; see models/siggraph.py dist_lowres).
-            B = jnp.asarray(self.input_ab_mc.transpose(1, 2, 0))[None]
-            M = jnp.asarray(self.input_mask_mult.transpose(1, 2, 0))[None]
+            h3 = self._hints3()        # content-cached single upload
+            B, M = h3[None, ..., :2], h3[None, ..., 2:]
             reg2, dist_cl = siggraph.apply(self.params, A, B, M,
                                            self.mask_cent, dist=True,
                                            dist_lowres=True)
