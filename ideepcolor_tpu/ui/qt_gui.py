@@ -28,7 +28,7 @@ import sys
 import numpy as np
 
 try:
-    from PyQt5.QtCore import Qt, QPoint, QSize, pyqtSignal
+    from PyQt5.QtCore import Qt, QPoint, QSize, QTimer, pyqtSignal
     from PyQt5.QtGui import QColor, QImage, QPainter, QPen
     from PyQt5.QtWidgets import (
         QApplication, QCheckBox, QFileDialog, QGroupBox,
@@ -61,10 +61,17 @@ class GUIDraw(QWidget):
     update_ab = pyqtSignal(object)
     update_result = pyqtSignal(object)
 
-    def __init__(self, model, dist_model=None, load_size=256, win_size=512):
+    def __init__(self, model, dist_model=None, load_size=256, win_size=512,
+                 async_drag=True):
         super().__init__()
         self.model = model
         self.dist_model = dist_model
+        # drag pipelining: motion events submit async table clicks and one
+        # fetch per event-loop cycle paints the newest completed frame
+        # (stale in-flight frames are dropped unread — engine/interactive)
+        self.async_drag = async_drag
+        self._async = None
+        self._fetch_scheduled = False
         self.win_size = win_size
         self.load_size = load_size
         self.setFixedSize(win_size, win_size)
@@ -159,6 +166,8 @@ class GUIDraw(QWidget):
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
+        if self._async is not None:
+            self._async.flush()        # in-flight frames show the old image
         if self.dist_model is not None:
             self.dist_model.set_image(self.im_rgb)
             self.predict_color()
@@ -393,7 +402,50 @@ class GUIDraw(QWidget):
         self.pos = self.valid_point(event.pos())
         if self.pos is not None and self.ui_mode == 'point':
             self.update_ui(move_point=True)
-            self.compute_result()
+            if not self._submit_async():
+                self.compute_result()
+
+    # ---- pipelined drag (engine/interactive) ----
+    def _async_session(self):
+        if not self.async_drag:
+            return None
+        if self._async is None:
+            from ..engine.interactive import InteractiveSession
+            try:
+                self._async = InteractiveSession(self.model)
+            except ValueError:        # backend without table programs
+                self.async_drag = False
+                return None
+        return self._async
+
+    def _submit_async(self) -> bool:
+        """Dispatch the current edit state without blocking; schedule one
+        fetch per event-loop cycle. Returns False when the drag must take
+        the synchronous path (async off, or table overflow)."""
+        sess = self._async_session()
+        if sess is None or len(self.uiControl.userEdits) > MAX_HINTS:
+            return False
+        boxes, vals, n = self.uiControl.hint_table()
+        sess.submit(boxes, vals, n,
+                    (self._dev_l_win_pad, self._dev_win_rh,
+                     self._dev_win_rw))
+        if not self._fetch_scheduled:
+            self._fetch_scheduled = True
+            QTimer.singleShot(0, self._fetch_async)
+        return True
+
+    def _fetch_async(self):
+        self._fetch_scheduled = False
+        if self._async is None:
+            return
+        _seq, win = self._async.latest()
+        if win is None:
+            return
+        self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
+        self.im_ab0 = self.model.input_ab
+        self.im_mask0 = self.model.input_mask
+        self.update_result.emit(self.result)
+        self.update()
 
     def wheelEvent(self, event):
         d = event.angleDelta().y() / 120

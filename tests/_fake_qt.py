@@ -184,6 +184,15 @@ class QApplication:
         return 0
 
 
+class QTimer:
+    """Synchronous stand-in: singleShot fires the callback immediately
+    (the real Qt would run it on the next event-loop cycle)."""
+
+    @staticmethod
+    def singleShot(ms, fn):
+        fn()
+
+
 class _Event:
     """Fake mouse event."""
 
@@ -214,6 +223,7 @@ def install():
     qtcore.Qt = Qt
     qtcore.QPoint = QPoint
     qtcore.QSize = QSize
+    qtcore.QTimer = QTimer
     qtcore.pyqtSignal = pyqtSignal
     qtgui = types.ModuleType("PyQt5.QtGui")
     qtgui.QColor = QColor

@@ -69,6 +69,22 @@ def test_drag_moves_point(gui):
     assert draw.uiControl.userEdits[0].pnt == (140, 140)
 
 
+def test_drag_burst_pipelines_and_converges(gui):
+    """A drag burst goes through the async session (one submit per motion
+    event, newest-frame fetch) and the painted frame is byte-identical to
+    a synchronous recompute of the final edit state."""
+    qt_gui, draw = gui
+    for x in (144, 148, 152, 148, 144, 140):   # ends where it started
+        draw.mouseMoveEvent(_fake_qt._Event(x, 140))
+    sess = draw._async
+    assert sess is not None and draw.async_drag
+    assert sess.frames_submitted >= 5
+    assert sess.pending == 0          # fake QTimer fetches synchronously
+    async_frame = draw.result.copy()
+    draw.compute_result()             # sync path, same final state
+    np.testing.assert_array_equal(async_frame, draw.result)
+
+
 def test_suggestions_and_gamut_signals(gui):
     qt_gui, draw = gui
     got = {}
