@@ -162,6 +162,29 @@ def bench_throughput(cm, extras):
         N / (time.perf_counter() - t0), 1)
 
 
+def bench_drag_pipeline(cm, extras):
+    """Pipelined drag editing (engine/interactive): motion-event absorption
+    rate — submits per event, one newest-frame fetch at the end (the GUI's
+    drag path); stale in-flight frames drop unread."""
+    from ideepcolor_tpu.engine.interactive import InteractiveSession
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    sess = InteractiveSession(cm)
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+    boxes[0] = [60, 60, 64, 64]
+    vals[0] = [40, -30]
+    sess.submit(boxes, vals, 1)
+    sess.latest()                                    # warm (compiled above)
+    N = 30
+    t0 = time.perf_counter()
+    for i in range(N):
+        boxes[0] = [60, 60 + i, 64, 64 + i]
+        sess.submit(boxes, vals, 1)
+    sess.latest()                                    # newest frame only
+    extras["drag_pipeline_events_per_sec"] = round(
+        N / (time.perf_counter() - t0), 1)
+
+
 def bench_batched_serving(extras):
     """Batched hint-conditioned serving throughput (batch 16, bfloat16)."""
     import jax
@@ -324,10 +347,12 @@ def main():
         extras["headline_error"] = str(e)[:160]
         p50 = extras.get("dense_path_p50_ms", -1.0)
         cm = None
-    for fn in (bench_throughput, bench_batched_serving, bench_global_hints,
-               bench_batch_fullres, bench_streaming, bench_http_serving):
+    needs_cm = (bench_throughput, bench_drag_pipeline)
+    for fn in (bench_throughput, bench_drag_pipeline, bench_batched_serving,
+               bench_global_hints, bench_batch_fullres, bench_streaming,
+               bench_http_serving):
         try:
-            fn(cm, extras) if fn is bench_throughput else fn(extras)
+            fn(cm, extras) if fn in needs_cm else fn(extras)
         except Exception as e:  # keep the headline even if a config fails
             extras[f"{fn.__name__}_error"] = str(e)[:120]
 

@@ -11,6 +11,10 @@ Endpoints
 GET  /healthz
     {"status": "ok", "device": ..., "size": Xd, "requests": N}
 
+GET  /stats
+    Per-endpoint latency percentiles (p50/p95/mean over the most recent
+    1000 requests) — the observability surface SURVEY.md §5 calls for.
+
 POST /colorize           (Content-Type: image/jpeg | image/png)
     Body: encoded image bytes. Optional ``X-Hints`` header: JSON list of
     {"y": int, "x": int, "ab": [a, b], "radius": int} in Xd-grid
@@ -51,6 +55,8 @@ class ColorizeService:
         self.model.prep_net(path=weights, dtype=dtype)
         self.lock = threading.Lock()
         self.requests = 0
+        from ..utils.profiling import StageTimer
+        self.timer = StageTimer(maxlen=1000)
         self.mesh = None
         if use_mesh:
             import jax
@@ -71,7 +77,8 @@ class ColorizeService:
         ab = np.zeros((2, self.size, self.size), np.float32)
         mask = np.zeros((1, self.size, self.size), np.float32)
         put_points_json(ab, mask, hints, self.size)
-        with self.lock:
+        with self.lock, self.timer.stage(
+                "colorize_fullres" if fullres else "colorize"):
             self.requests += 1
             self.model.load_image_array(rgb)
             if fullres:
@@ -96,7 +103,7 @@ class ColorizeService:
             hint_mask = z["hint_mask"] if "hint_mask" in z else None
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(f"images must be (N,S,S,3), got {images.shape}")
-        with self.lock:
+        with self.lock, self.timer.stage("colorize_batch"):
             self.requests += 1
             frames = colorize_batch(self.model.params, images,
                                     hint_ab=hint_ab, hint_mask=hint_mask,
@@ -135,8 +142,14 @@ class _Handler(BaseHTTPRequestHandler):
                     "application/json")
 
     def do_GET(self):
-        if self.path.split("?")[0] == "/healthz":
+        path = self.path.split("?")[0]
+        if path == "/healthz":
             self._reply(200, json.dumps(self.service.health()).encode(),
+                        "application/json")
+        elif path == "/stats":
+            stats = {"requests": self.service.requests,
+                     "latency": self.service.timer.summary()}
+            self._reply(200, json.dumps(stats).encode(),
                         "application/json")
         else:
             self._err(404, f"unknown path {self.path}")

@@ -16,10 +16,18 @@ import numpy as np
 
 
 class StageTimer:
-    """Accumulates per-stage wall-clock samples; reports percentiles."""
+    """Accumulates per-stage wall-clock samples; reports percentiles.
 
-    def __init__(self):
-        self.samples: dict[str, list[float]] = defaultdict(list)
+    ``maxlen`` bounds the per-stage window (long-running servers keep the
+    most recent samples instead of growing without bound)."""
+
+    def __init__(self, maxlen: int | None = None):
+        if maxlen is None:
+            self.samples: dict[str, list] = defaultdict(list)
+        else:
+            from collections import deque
+            from functools import partial
+            self.samples = defaultdict(partial(deque, maxlen=maxlen))
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -35,7 +43,7 @@ class StageTimer:
     def summary(self) -> dict[str, dict[str, float]]:
         out = {}
         for name, xs in self.samples.items():
-            a = np.sort(np.asarray(xs)) * 1000.0
+            a = np.sort(np.asarray(list(xs))) * 1000.0
             out[name] = {
                 "n": len(a),
                 "p50_ms": float(a[len(a) // 2]),

@@ -158,3 +158,30 @@ def test_concurrent_requests_serialize_safely(server):
     for t in ts: t.join()
     for w, g in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def test_stats_latency_percentiles(server):
+    """GET /stats reports per-endpoint latency percentiles over a bounded
+    recent-request window (SURVEY §5 observability)."""
+    c = _conn(server)
+    c.request("GET", "/stats")
+    r = c.getresponse()
+    assert r.status == 200
+    stats = json.loads(r.read())
+    assert stats["requests"] > 0
+    lat = stats["latency"]
+    # earlier tests in this module exercised all three endpoints
+    for ep in ("colorize_fullres", "colorize", "colorize_batch"):
+        assert ep in lat, lat.keys()
+        assert lat[ep]["n"] >= 1
+        assert lat[ep]["p95_ms"] >= lat[ep]["p50_ms"] >= 0
+
+
+def test_stage_timer_window_is_bounded():
+    from ideepcolor_tpu.utils.profiling import StageTimer
+    st = StageTimer(maxlen=10)
+    for i in range(25):
+        st.record("x", float(i))
+    s = st.summary()
+    assert s["x"]["n"] == 10
+    assert s["x"]["p50_ms"] >= 15_000      # only the newest samples remain
