@@ -7,11 +7,21 @@ data/colorize_image.py:20-28). This kernel runs the whole chain in VMEM on
 (TILE, W) slabs with planar L/a/b inputs so the VPU sees clean (8,128)
 lanes, one HBM read per input plane and one packed uint8 write.
 
-XLA fuses the same chain well in most call sites; the kernel exists for the
-large full-res frames (2048^2+) where controlling slab size and the uint8
-pack in one pass measurably reduces HBM traffic, and as the template for
-further fused output-stage work. Falls back to interpret mode off-TPU so
+Measured on v5e (2026-08-16): standalone, the kernel beats XLA's compose
+program 1.37 vs 2.18 ms at 2048² (1-LSB-identical output). But in every
+PRODUCTION call site the compose has an upstream producer (the ab-upsample
+matmul or the U-Net) that XLA fuses the chain into; splitting it out as a
+kernel call materializes the f32 ab intermediate through HBM and LOSES
+end-to-end (batch-2048 full-res config: 443 → 390 imgs/s) — the chain is
+VPU-bound on the sRGB-gamma pow, so a second pass only adds traffic. The
+engine therefore keeps XLA's fusion; this kernel stays as the measured
+reference point and the template for output-stage work where the Lab
+planes are already materialized. Falls back to interpret mode off-TPU so
 tests exercise identical code on CPU.
+
+VMEM/compile envelope on this toolchain: auto-tile holds slabs under the
+budget; Mosaic compiles up to ~8.4M px frames (4096² at tile≥96 and
+10240² at tile 32 fail in the remote compile service).
 """
 
 from __future__ import annotations
@@ -94,6 +104,10 @@ def compose_frame_u8(img_l: jax.Array, ab: jax.Array,
     """(H,W,1) L + (H,W,2) ab -> (H,W,3) uint8 RGB through the kernel,
     handling tile padding. Drop-in for engine.pipeline.compose_rgb_u8."""
     H, W = img_l.shape[0], img_l.shape[1]
+    # VMEM budget: ~15 bytes/element live per slab (3 f32 input planes +
+    # 3-channel u8 output) x2 for pipelining headroom; 16 MB VMEM. A fixed
+    # tile=256 overflows past W=2048 (compile failure at 4096^2).
+    tile = min(tile, max(8, 16_000_000 // (30 * W) // 8 * 8))
     tile = min(tile, max(8, H))
     pad = (-H) % tile
     l = jnp.pad(img_l[..., 0], ((0, pad), (0, 0)))
