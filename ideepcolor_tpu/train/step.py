@@ -63,7 +63,12 @@ def loss_fn(params, batch, key, cfg: TrainConfig, centers):
     return total, {"loss": total, "reg": l_reg, "cls": l_cls}
 
 
-def make_train_step(cfg: TrainConfig):
+def make_train_step(cfg: TrainConfig, jit: bool = True):
+    """One fused train step (value_and_grad + adam). jit=True (default) is
+    essential in production: the eager form dispatches every op separately
+    — ~2.4 s/step over the tunneled device vs ~0.1 s jitted (batch 16,
+    256², measured 2026-08-16). ``make_sharded_train_step`` passes
+    jit=False and jits with shardings + donation itself."""
     opt = make_optimizer(cfg)
     centers = jnp.asarray(make_pts_grid(), jnp.float32)  # 529 full grid
 
@@ -76,7 +81,7 @@ def make_train_step(cfg: TrainConfig):
         return ({"params": params, "opt_state": opt_state,
                  "step": state["step"] + 1}, aux)
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_sharded_train_step(cfg: TrainConfig, mesh):
@@ -88,7 +93,7 @@ def make_sharded_train_step(cfg: TrainConfig, mesh):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step = make_train_step(cfg)
+    step = make_train_step(cfg, jit=False)
     repl = NamedSharding(mesh, P())
     batch_s = pmesh.batch_sharding(mesh)
 
