@@ -79,10 +79,13 @@ def main(argv=None):
                     shard_batch({k: jnp.asarray(v)
                                  for k, v in batch.items()}), sub)
             if (i + 1) % args.log_every == 0:
+                recent = list(timer.samples["step"])[-args.log_every:]
+                ips = args.batch * len(recent) / max(sum(recent), 1e-9)
                 print(f"step {int(state['step'])}: "
                       f"loss={float(aux['loss']):.4f} "
                       f"reg={float(aux['reg']):.4f} "
-                      f"cls={float(aux['cls']):.4f}", flush=True)
+                      f"cls={float(aux['cls']):.4f} "
+                      f"({ips:.1f} imgs/s)", flush=True)
             if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
                 path = f"{args.ckpt}_{int(state['step'])}"
                 tstep.save_train_state(path, jax.device_get(state))
