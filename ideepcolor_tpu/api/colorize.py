@@ -445,29 +445,64 @@ class ColorizeImageBase:
         self._dev_rw0 = jnp.asarray(
             nearest_resize_matrix_np(self.Xd, W, Wb))
 
+    # Net-res Lab numpy mirrors are LAZY, like the full-res ones: image
+    # load keeps everything device-resident (uint8 sources upload as uint8,
+    # 4x fewer bytes; no synchronous readback at all), and the (3,Xd,Xd)
+    # numpy views materialize only if host code actually reads them
+    # (save_result, get_img_gray). The serving path never does — load +
+    # forward costs a single round trip.
     def _set_img_lab_(self):
-        rgb01 = _to_float01(self.img_rgb)
-        lab = np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb01)))
-        self.img_lab = lab.transpose(2, 0, 1)
-        self.img_l = self.img_lab[[0]]
-        self.img_ab = self.img_lab[1:]
-        self._dev_l_net = jnp.asarray(lab[..., :1])      # (Xd, Xd, 1)
+        src = np.asarray(self.img_rgb)
+        if src.dtype == np.uint8:
+            lab_dev = P.rgb_to_lab_dev_u8(jnp.asarray(src))
+        else:
+            lab_dev = P.rgb_to_lab_dev(jnp.asarray(_to_float01(src)))
+        self._dev_lab_net = lab_dev                      # (Xd, Xd, 3)
+        self._dev_l_net = lab_dev[..., :1]               # (Xd, Xd, 1)
+        self._img_lab_np = None
 
     def _set_img_lab_mc_(self):
-        norm = np.array([self.l_norm, self.ab_norm, self.ab_norm])
-        mean = np.array([self.l_mean, self.ab_mean, self.ab_mean])
-        self.img_lab_mc = (self.img_lab / norm[:, None, None]
-                           - (mean / norm)[:, None, None])
-        self._set_img_l_()
-
-    def _set_img_l_(self):
-        self.img_l_mc = self.img_lab_mc[[0]]
+        # the forward programs only need the mean-centered L plane; it is
+        # derived on device in one fused dispatch (no mirror readback)
+        self._dev_l_mc = P.center_plane(
+            self._dev_lab_net, jnp.float32(self.l_mean),
+            jnp.float32(self.l_norm))                    # (Xd, Xd, 1)
         self.img_l_set = True
-        self._dev_l_mc = jnp.asarray(
-            self.img_l_mc.transpose(1, 2, 0))            # (Xd, Xd, 1)
+        self._img_lab_mc_np = None
 
-    def _set_img_ab_(self):
-        self.img_ab_mc = self.img_lab_mc[[1, 2]]
+    _set_img_l_ = _set_img_lab_mc_
+
+    @property
+    def img_lab(self):
+        if getattr(self, "_img_lab_np", None) is None:
+            self._img_lab_np = np.asarray(
+                self._dev_lab_net).transpose(2, 0, 1)
+        return self._img_lab_np
+
+    @property
+    def img_l(self):
+        return self.img_lab[[0]]
+
+    @property
+    def img_ab(self):
+        return self.img_lab[1:]
+
+    @property
+    def img_lab_mc(self):
+        if getattr(self, "_img_lab_mc_np", None) is None:
+            norm = np.array([self.l_norm, self.ab_norm, self.ab_norm])
+            mean = np.array([self.l_mean, self.ab_mean, self.ab_mean])
+            self._img_lab_mc_np = (self.img_lab / norm[:, None, None]
+                                   - (mean / norm)[:, None, None])
+        return self._img_lab_mc_np
+
+    @property
+    def img_l_mc(self):
+        return self.img_lab_mc[[0]]
+
+    @property
+    def img_ab_mc(self):
+        return self.img_lab_mc[[1, 2]]
 
     def _set_out_ab_(self):
         # parity with ref colorize_image.py:196-198: output_ab is re-derived

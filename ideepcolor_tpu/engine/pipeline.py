@@ -48,6 +48,14 @@ def rgb_to_lab_dev_u8(rgb_u8: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def center_plane(lab: jax.Array, mean: jax.Array, norm: jax.Array
+                 ) -> jax.Array:
+    """(H,W,3) Lab -> mean-centered L plane (H,W,1), one fused dispatch
+    (the only image-prep tensor the forward programs consume)."""
+    return (lab[..., :1] - mean) / norm
+
+
+@jax.jit
 def compose_rgb_u8(img_l: jax.Array, ab: jax.Array) -> jax.Array:
     """(H,W,1) L + (H,W,2) ab -> (H,W,3) uint8 RGB, fused lab2rgb+clip."""
     return cs.lab_to_rgb_u8(jnp.concatenate([img_l, ab], axis=-1))
