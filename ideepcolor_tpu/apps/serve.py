@@ -123,6 +123,9 @@ class ColorizeService:
                 dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}
 
 
+MAX_BODY_BYTES = 512 << 20      # reject absurd uploads before allocating
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: ColorizeService = None  # injected by make_server
     protocol_version = "HTTP/1.1"
@@ -158,6 +161,9 @@ class _Handler(BaseHTTPRequestHandler):
         path, _, query = self.path.partition("?")
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                self._err(413, f"body {n} bytes exceeds {MAX_BODY_BYTES}")
+                return
             body = self.rfile.read(n)
             if path == "/colorize":
                 hints = None

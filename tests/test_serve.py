@@ -185,3 +185,12 @@ def test_stage_timer_window_is_bounded():
     s = st.summary()
     assert s["x"]["n"] == 10
     assert s["x"]["p50_ms"] >= 15_000      # only the newest samples remain
+
+
+def test_oversized_body_rejected_without_allocation(server):
+    c = _conn(server)
+    c.putrequest("POST", "/colorize")
+    c.putheader("Content-Length", str(600 << 20))   # claims 600 MB
+    c.endheaders()
+    r = c.getresponse()                              # rejected unread
+    assert r.status == 413
