@@ -176,6 +176,10 @@ class GUIDraw(QWidget):
         self.ui_mode = 'none'
         self.pos = None
         self.result = None
+        # the brush returns to the default gray on reset
+        # (ref ui/gui_draw.py:145-155 init_color)
+        self.user_color = (128, 128, 128)
+        self.color = self.user_color
         self.uiControl.reset()
         self.compute_result()
         self.predict_color()
@@ -520,16 +524,23 @@ class GUIGamut(QWidget):
         if event.button() == Qt.LeftButton and self.is_valid_point(
                 event.pos()):
             self.update_ui(event.pos())
+            self.mouseClicked = True
 
     def mouseMoveEvent(self, event):
-        if self.is_valid_point(event.pos()):
+        # drag-to-pick only while the button is held — hovering must not
+        # change the color (ref ui/gui_gamut.py:78-86)
+        if self.mouseClicked and self.is_valid_point(event.pos()):
             self.update_ui(event.pos())
+
+    def mouseReleaseEvent(self, event):
+        self.mouseClicked = False
 
     def reset(self):
         self.colors_mask = None
         self.mask = None
         self.pos = None
         self.l_in = 50
+        self.mouseClicked = False
 
 
 class GUIPalette(QWidget):
@@ -546,10 +557,13 @@ class GUIPalette(QWidget):
         self.setFixedSize(self.win_w, self.win_h)
         self.colors = None
         self.id = -1
+        self.mouseClicked = False
 
     def set_colors(self, colors):
         if colors is not None:
-            self.colors = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+            # cap to the grid capacity (ref ui/gui_palette.py:22)
+            n = self.grid_sz[0] * self.grid_sz[1]
+            self.colors = (np.clip(colors[:n], 0, 1) * 255).astype(np.uint8)
             self.id = -1
             self.update()
 
@@ -563,9 +577,12 @@ class GUIPalette(QWidget):
                 painter.setBrush(ca)
                 x = (n % self.grid_sz[0])
                 y = (n // self.grid_sz[0])
-                painter.drawRoundedRect(
-                    self.border + x * (20 + self.border),
-                    self.border + y * (20 + self.border), 20, 20, 2, 2)
+                px = self.border + x * (20 + self.border)
+                py = self.border + y * (20 + self.border)
+                if n == self.id:        # selected color renders as a circle
+                    painter.drawEllipse(px, py, 20, 20)
+                else:
+                    painter.drawRoundedRect(px, py, 20, 20, 2, 2)
         painter.end()
 
     def _sel_id(self, pos):
@@ -576,16 +593,30 @@ class GUIPalette(QWidget):
             return i
         return None
 
-    def mousePressEvent(self, event):
-        i = self._sel_id(event.pos())
+    def _pick(self, pos):
+        i = self._sel_id(pos)
         if i is not None:
             self.id = i
             self.update_color.emit(self.colors[i])
             self.update()
 
+    def mousePressEvent(self, event):
+        if event.button() == Qt.LeftButton:
+            self._pick(event.pos())
+            self.mouseClicked = True
+
+    def mouseMoveEvent(self, event):
+        # drag across the palette keeps picking (ref ui/gui_palette.py:84-86)
+        if self.mouseClicked:
+            self._pick(event.pos())
+
+    def mouseReleaseEvent(self, event):
+        self.mouseClicked = False
+
     def reset(self):
         self.colors = None
         self.id = -1
+        self.mouseClicked = False
         self.update()
 
 
@@ -687,6 +718,10 @@ class GUIDesign(QMainWindow):
         self.gamutWidget.update_color.connect(self.drawWidget.set_color)
         self.customPalette.update_color.connect(self.drawWidget.set_color)
         self.usedPalette.update_color.connect(self.drawWidget.set_color)
+        # palette picks also move the gamut cursor
+        # (ref ui/gui_design.py:96,100)
+        self.customPalette.update_color.connect(self.gamutWidget.set_ab)
+        self.usedPalette.update_color.connect(self.gamutWidget.set_ab)
         self.bGray.toggled.connect(self.drawWidget.enable_gray)
         self.bRestart.clicked.connect(self.reset)
         self.bQuit.clicked.connect(self.quit)

@@ -216,3 +216,67 @@ def test_more_edits_than_table_slots_fall_back_to_dense(gui):
     assert want.sum() > 0
     draw.uiControl.reset()
     draw.compute_result()
+
+
+def test_reset_reinitializes_brush_color(gui):
+    qt_gui, draw = gui
+    draw.user_color = (10, 200, 30)
+    draw.reset()
+    assert draw.user_color == (128, 128, 128)   # ref gui_draw init_color
+
+
+def test_gamut_hover_does_not_pick(gui):
+    """Color picks in the gamut happen only while the button is held
+    (ref ui/gui_gamut.py:78-86)."""
+    qt_gui, draw = gui
+    g = qt_gui.GUIGamut(gamut_size=110)
+    g.set_gamut(50.0)
+    picked = []
+    g.update_color.connect(picked.append)
+    inside = None
+    ys, xs = np.nonzero(g.mask)
+    inside = (int(xs[0]), int(ys[0]))
+    import _fake_qt as fq
+    g.mouseMoveEvent(fq._Event(*inside))          # hover: no pick
+    assert picked == []
+    g.mousePressEvent(fq._Event(*inside, fq.Qt.LeftButton))
+    assert len(picked) == 1
+    g.mouseMoveEvent(fq._Event(*inside))          # drag while held: picks
+    assert len(picked) == 2
+    g.mouseReleaseEvent(fq._Event(*inside))
+    g.mouseMoveEvent(fq._Event(*inside))          # after release: no pick
+    assert len(picked) == 2
+
+
+def test_palette_caps_drags_and_marks_selection(gui):
+    qt_gui, _ = gui
+    import _fake_qt as fq
+    p = qt_gui.GUIPalette(grid_sz=(3, 1))
+    p.set_colors(np.tile(np.linspace(0, 1, 8)[:, None], (1, 3)))
+    assert len(p.colors) == 3                     # capped to capacity
+    picked = []
+    p.update_color.connect(picked.append)
+    p.mousePressEvent(fq._Event(8, 8, fq.Qt.LeftButton))
+    assert len(picked) == 1 and p.id == 0
+    p.mouseMoveEvent(fq._Event(8 + 26, 8))        # drag to the next swatch
+    assert len(picked) == 2 and p.id == 1
+    p.mouseReleaseEvent(fq._Event(0, 0))
+    p.mouseMoveEvent(fq._Event(8, 8))             # hover after release
+    assert len(picked) == 2
+
+
+def test_palette_pick_moves_gamut_cursor(gui):
+    """Palette picks also update the gamut cursor
+    (ref ui/gui_design.py:96,100)."""
+    qt_gui, draw = gui
+    import _fake_qt as fq
+    win = qt_gui.GUIDesign(draw.model, dist_model=draw.dist_model,
+                           img_file=None, load_size=64, win_size=256)
+    win.drawWidget.read_image(IMG)
+    win.drawWidget.reset()
+    # a palette pick presupposes a selected point (as in the reference)
+    win.drawWidget.mousePressEvent(fq._Event(128, 128, fq.Qt.LeftButton))
+    win.gamutWidget.pos = None
+    win.customPalette.set_colors(np.array([[0.8, 0.2, 0.2]]))
+    win.customPalette.mousePressEvent(fq._Event(8, 8, fq.Qt.LeftButton))
+    assert win.gamutWidget.pos is not None        # cursor moved
