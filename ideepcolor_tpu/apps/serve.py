@@ -29,6 +29,13 @@ POST /colorize_batch     (Content-Type: application/x-npz)
     Response: npz with ``frames`` (N,S,S,3 uint8) via engine.batch
     (optionally mesh-sharded over batch with --mesh).
 
+POST /suggest?h=Y&w=X[&k=K]   (Content-Type: image bytes)
+    Color recommendations at pixel (h, w) in Xd-grid coordinates — the
+    GUI's suggestion palette as a service (distribution head + on-device
+    CMF sampling + k-means, ref data/colorize_image.py:322-355). Optional
+    ``X-Hints`` header as in /colorize. Response: JSON
+    {"colors": [[r,g,b] x K] uint8, "conf": [K floats]}.
+
 Run: ``python -m ideepcolor_tpu.apps.serve --port 8723 [--weights W]``.
 """
 
@@ -55,6 +62,10 @@ class ColorizeService:
         self.model.prep_net(path=weights, dtype=dtype)
         self.lock = threading.Lock()
         self.requests = 0
+        self._weights = weights
+        self._maskcent = maskcent
+        self._dtype = dtype
+        self._dist = None            # built lazily on first /suggest
         from ..utils.profiling import StageTimer
         self.timer = StageTimer(maxlen=1000)
         self.mesh = None
@@ -93,6 +104,47 @@ class ColorizeService:
         if not ok:
             raise RuntimeError("png encode failed")
         return png.tobytes()
+
+    # -- suggestions --
+    def suggest(self, img_bytes: bytes, h: int, w: int, k: int = 9,
+                hints=None) -> dict:
+        import cv2
+        from ..ops.hints import put_points_json
+        if not (0 <= h < self.size and 0 <= w < self.size):
+            raise ValueError(f"(h,w) must be in [0,{self.size}), "
+                             f"got ({h},{w})")
+        raw = np.frombuffer(img_bytes, np.uint8)
+        bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("undecodable image body")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        ab = np.zeros((2, self.size, self.size), np.float32)
+        mask = np.zeros((1, self.size, self.size), np.float32)
+        put_points_json(ab, mask, hints, self.size)
+        with self.lock, self.timer.stage("suggest"):
+            self.requests += 1
+            if self._dist is None:
+                from .. import api
+                self._dist = api.ColorizeImageJaxDist(
+                    Xd=self.size, maskcent=self._maskcent)
+                self._dist.prep_net(path=self._weights, dtype=self._dtype)
+            self._dist.load_image_array(rgb)
+            self._dist.net_forward(ab, mask)
+            centers, conf = self._dist.get_ab_reccs(h=h, w=w, K=k,
+                                                    return_conf=True)
+        # pixel L via the native host converter (no device mirror readback)
+        from ..ops import host
+        L = float(host.rgb2lab(
+            self._dist.img_rgb[h, w][None, None].astype(np.float32)
+            / 255.0)[0, 0, 0])
+        # one fixed-shape device dispatch converts all K suggestion colors
+        from ..api.colorize import lab2rgb_transpose
+        lab = np.concatenate(
+            [np.full((k, 1), L, np.float32),
+             np.asarray(centers, np.float32)], axis=1).T[:, :, None]
+        colors = lab2rgb_transpose(lab[:1], lab[1:]).reshape(k, 3)
+        return {"colors": colors.tolist(),
+                "conf": [float(c) for c in np.asarray(conf)]}
 
     # -- batch --
     def colorize_batch(self, body: bytes) -> bytes:
@@ -175,6 +227,17 @@ class _Handler(BaseHTTPRequestHandler):
             elif path == "/colorize_batch":
                 out = self.service.colorize_batch(body)
                 self._reply(200, out, "application/x-npz")
+            elif path == "/suggest":
+                from urllib.parse import parse_qs
+                q = parse_qs(query)
+                hints = None
+                if self.headers.get("X-Hints"):
+                    hints = json.loads(self.headers["X-Hints"])
+                out = self.service.suggest(
+                    body, h=int(q["h"][0]), w=int(q["w"][0]),
+                    k=int(q.get("k", ["9"])[0]), hints=hints)
+                self._reply(200, json.dumps(out).encode(),
+                            "application/json")
             else:
                 self._err(404, f"unknown path {path}")
         except (ValueError, KeyError, json.JSONDecodeError) as e:

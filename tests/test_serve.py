@@ -194,3 +194,24 @@ def test_oversized_body_rejected_without_allocation(server):
     c.endheaders()
     r = c.getresponse()                              # rejected unread
     assert r.status == 413
+
+
+def test_suggest_endpoint(server):
+    """POST /suggest returns K color recommendations at a pixel — the
+    GUI suggestion palette as a service."""
+    _img, body = _png_bytes(64, 64)
+    c = _conn(server)
+    c.request("POST", "/suggest?h=32&w=32&k=5", body=body)
+    r = c.getresponse()
+    assert r.status == 200
+    out = json.loads(r.read())
+    colors = np.asarray(out["colors"])
+    assert colors.shape == (5, 3)
+    assert colors.dtype.kind in "iu"
+    assert (colors >= 0).all() and (colors <= 255).all()
+    assert len(out["conf"]) == 5
+    # confidences are a sorted-by-occupancy distribution
+    assert all(b <= a + 1e-6 for a, b in zip(out["conf"], out["conf"][1:]))
+    # out-of-range pixel -> 400
+    c.request("POST", "/suggest?h=999&w=0", body=body)
+    assert c.getresponse().status == 400
