@@ -182,6 +182,17 @@ class ColorizeImageBase:
         self._set_img_lab_mc_()
 
     def set_image(self, input_image: np.ndarray):
+        # the reference contract: set_image receives an ALREADY net-sized
+        # image (the GUI hands it the load_size resize, ref ui/gui_draw.py
+        # :110-113 + data/colorize_image.py:68-77). Mis-sized input makes
+        # the reference silently produce garbage; fail loudly instead
+        # (use load_image_array for arbitrary-size arrays).
+        shape = np.asarray(input_image).shape
+        if shape != (self.Xd, self.Xd, 3):
+            raise ValueError(
+                f"set_image expects a net-sized ({self.Xd},{self.Xd},3) "
+                f"image, got {shape}; use load_image_array for "
+                f"arbitrary sizes")
         self.img_rgb_fullres = np.asarray(input_image).copy()
         self._set_img_lab_fullres_()
         self.img_l_set = True

@@ -134,3 +134,30 @@ def test_colorize_batch_no_retrace_across_requests(compile_log):
     # recur either for the main forward
     assert not any("tracing" in m and "batch_forward_frames" in m
                    for m in compile_log.messages)
+
+
+def test_interactive_submits_do_not_recompile(compile_log):
+    """Drag pipelining relies on submit being dispatch-only: varying hint
+    counts, positions and images (same bucket) must never retrace the
+    table-click program."""
+    from ideepcolor_tpu.engine.interactive import InteractiveSession
+
+    m = api.ColorizeImageJax(Xd=64)
+    m.prep_net(None)
+    m.load_image_array(_rand_image(0, 120, 150))
+    sess = InteractiveSession(m, depth=3)
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [10, 10, 14, 14]; vals[0] = [30, -40]
+    sess.submit(boxes, vals, 1)
+    sess.latest()                                   # warm everything
+    compile_log.messages.clear()
+    for i in range(6):                              # moving hint, growing
+        boxes[i % 3] = [10 + i, 12, 15 + i, 17]     # and changing count
+        vals[i % 3] = [10.0 * i - 30, 5.0 * i]
+        sess.submit(boxes, vals, (i % 3) + 1)
+    sess.latest()
+    m.load_image_array(_rand_image(1, 130, 140))    # same bucket
+    sess.submit(boxes, vals, 2)
+    sess.latest()
+    assert compile_log.compiles() == []
