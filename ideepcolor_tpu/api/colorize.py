@@ -630,6 +630,41 @@ class ColorizeImageJaxDist(ColorizeImageJax):
 
     def prep_net(self, gpu_id=None, path='', dist=True, S=.2, dtype=None):
         super().prep_net(gpu_id, path, dist=True, dtype=dtype)
+        from ..ops.hints import rasterize_hints
+        mc = self.mask_cent
+        Xd = self.Xd
+
+        @jax.jit
+        def dist_tbl(l_mc, params, boxes, values, count):
+            ab, mask = rasterize_hints(boxes, values, count, size=Xd)
+            _reg2, dist_cl = siggraph.apply(params, l_mc[None], ab[None],
+                                            mask[None], mc, dist=True,
+                                            dist_lowres=True)
+            return dist_cl[0]
+
+        self._dist_tbl = dist_tbl
+
+    def predict_dist_table(self, boxes, values, count):
+        """GUI fast path for the per-image suggestion forward: hint table
+        in (~1.8 KB upload, device rasterize), distribution map set
+        device-side, NOTHING read back (the reference's predict_color
+        discards the regression return, ref ui/gui_draw.py:250-258 — the
+        dense ``net_forward`` still returns it for API parity)."""
+        if not (self.img_l_set and self.net_set):
+            return -1
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        self._dev_dist = self._dist_tbl(
+            self._dev_l_mc, self.params, jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(values, jnp.float32), jnp.int32(count))
+        self.dist_ab_set = True
+        self._dist_np = None
+        return 0
 
     def net_forward(self, input_ab, input_mask):
         out = super().net_forward(input_ab, input_mask)
@@ -819,6 +854,40 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
                          dtype=dtype)
         self.S = S
         self.params["scale_S.scale"] = jnp.asarray(S, jnp.float32)
+        from ..ops.hints import rasterize_hints
+        mm = self.mask_mult
+        Xd = self.Xd
+
+        @jax.jit
+        def dist_tbl(l_mc, params, boxes, values, count):
+            ab, mask = rasterize_hints(boxes, values, count, size=Xd)
+            blob = jnp.concatenate([l_mc[None], ab[None], mask[None] * mm],
+                                   -1)
+            _pred, dist_S = caffe_net.apply_dist(params, blob)
+            return dist_S[0]
+
+        self._dist_tbl = dist_tbl
+
+    def predict_dist_table(self, boxes, values, count):
+        """Same fast suggestion-forward contract as
+        ColorizeImageJaxDist.predict_dist_table (caffe conventions:
+        mask x110 inside the program)."""
+        if not (self.img_l_set and self.net_set):
+            return -1
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        self._dev_dist = self._dist_tbl(
+            self._dev_l_mc, self.params, jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(values, jnp.float32), jnp.int32(count))
+        self.dist_ab_set = True
+        self._dist_np = None
+        self._dist_full_np = None
+        return 0
 
     def _make_click(self):
         mm = self.mask_mult

@@ -137,25 +137,26 @@ class GUIDraw(QWidget):
             cv2.resize(im_bgr, (self.load_size, self.load_size),
                        interpolation=cv2.INTER_CUBIC), cv2.COLOR_BGR2RGB)
         self.im_rgb = im_rgb_load
-        from ..api.colorize import rgb2lab_transpose
-        self.im_lab = rgb2lab_transpose(im_rgb_load).transpose(1, 2, 0)
-        self.l_win = rgb2lab_transpose(
-            cv2.cvtColor(self.im_win, cv2.COLOR_BGR2RGB))[0]
-        # device-resident window-size L plane: the per-click window frame
-        # is composed on device (upsample + L-fusion + lab2rgb in one
-        # program) instead of cv2+host colorspace per click; padded to a
-        # 128-bucket + data interpolation matrices so the fused
-        # click+window program compiles once per bucket, and the window
-        # frame returns in the SAME dispatch as the forward
+        # both Lab planes the GUI needs are computed ON DEVICE from uint8
+        # uploads (async dispatch, no readback at load): the net-res Lab
+        # for pixel lookups materializes lazily on first click (im_lab
+        # property), and the window L plane stays device-resident for the
+        # fused click+window program — padded to a 128-bucket + data
+        # interpolation matrices so it compiles once per bucket and the
+        # window frame returns in the SAME dispatch as the forward
         import jax.numpy as jnp
         from ..engine import pipeline as P
-        from ..ops.resize import cubic_resize_matrix_np
+        self._dev_im_lab = P.rgb_to_lab_dev_u8(jnp.asarray(im_rgb_load))
+        self._im_lab_np = None
         bucket = 128
         hb = -(-rh // bucket) * bucket
         wb = -(-rw // bucket) * bucket
-        l_pad = np.zeros((hb, wb, 1), np.float32)
-        l_pad[:rh, :rw, 0] = self.l_win
-        self._dev_l_win_pad = jnp.asarray(l_pad)
+        rgb_win_pad = np.zeros((hb, wb, 3), np.uint8)
+        rgb_win_pad[:rh, :rw] = cv2.cvtColor(self.im_win, cv2.COLOR_BGR2RGB)
+        self._dev_l_win_pad = P.rgb_to_lab_dev_u8(
+            jnp.asarray(rgb_win_pad))[..., :1]
+        self._l_win_np = None
+        from ..ops.resize import cubic_resize_matrix_np
         # INTER_CUBIC matrices: the reference's ab->window resize is
         # cv2.INTER_CUBIC (ref ui/gui_draw.py:281); cubic is separable-
         # linear so the same fused program serves it as data.
@@ -166,6 +167,7 @@ class GUIDraw(QWidget):
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
+        self._fetch_scheduled = False
         if self._async is not None:
             self._async.flush()        # in-flight frames show the old image
         if self.dist_model is not None:
@@ -184,6 +186,21 @@ class GUIDraw(QWidget):
         self.compute_result()
         self.predict_color()
         self.update()
+
+    # lazy numpy views of the device Lab planes (materialize on first use;
+    # image load itself never blocks on a readback)
+    @property
+    def im_lab(self):
+        if self._im_lab_np is None:
+            self._im_lab_np = np.asarray(self._dev_im_lab)
+        return self._im_lab_np
+
+    @property
+    def l_win(self):
+        if self._l_win_np is None:
+            self._l_win_np = np.asarray(
+                self._dev_l_win_pad)[:self.win_h, :self.win_w, 0]
+        return self._l_win_np
 
     # ---- geometry ----
     def scale_point(self, pnt):
@@ -241,12 +258,20 @@ class GUIDraw(QWidget):
         self.compute_result()
 
     def predict_color(self):
-        if self.dist_model is not None and self.image_loaded:
-            im, mask = self.uiControl.get_input()
-            from ..api.colorize import rgb2lab_transpose
-            im_lab = rgb2lab_transpose(im)
-            self.dist_model.net_forward(im_lab[1:],
-                                        (mask > 0).transpose(2, 0, 1))
+        if self.dist_model is None or not self.image_loaded:
+            return
+        # fast path: hint table + device rasterize, no readback (the
+        # regression return is discarded here, as in the reference)
+        if (hasattr(self.dist_model, "predict_dist_table")
+                and len(self.uiControl.userEdits) <= MAX_HINTS):
+            boxes, vals, n = self.uiControl.hint_table()
+            if self.dist_model.predict_dist_table(boxes, vals, n) != -1:
+                return
+        im, mask = self.uiControl.get_input()
+        from ..api.colorize import rgb2lab_transpose
+        im_lab = rgb2lab_transpose(im)
+        self.dist_model.net_forward(im_lab[1:],
+                                    (mask > 0).transpose(2, 0, 1))
 
     # ---- interaction ----
     def update_ui(self, move_point=True):

@@ -373,3 +373,34 @@ def test_net_forward_fullres_sentinel_on_multi_output_backends():
         m.prep_net(None)
         m.set_image(_rand_image(19, 64, 64))
         assert m.net_forward_fullres(ab, mask) == -1
+
+
+@pytest.mark.parametrize("cls", ["ColorizeImageJaxDist",
+                                 "ColorizeImageJaxCaffeDist"])
+def test_predict_dist_table_matches_dense(cls):
+    """The GUI's fast suggestion forward (hint table, no readback) must
+    produce the same distribution as the dense net_forward path."""
+    from ideepcolor_tpu.ops import host
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    m = getattr(api, cls)(Xd=64)
+    m.prep_net(None)
+    m.load_image(IMG)
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+    boxes[0] = [10, 12, 14, 16]; vals[0] = [35.0, -52.0]
+    boxes[1] = [40, 40, 43, 43]; vals[1] = [-18.0, 61.0]
+    assert m.predict_dist_table(boxes, vals, 2) == 0
+    dist_fast = np.asarray(m._dev_dist).copy()
+    reccs_fast = m.get_ab_reccs(h=20, w=20, K=5)
+    ab_np, mask_np = host.rasterize_hints(boxes, vals, 2, 64)
+    m.net_forward(ab_np.transpose(2, 0, 1), mask_np.transpose(2, 0, 1))
+    np.testing.assert_allclose(dist_fast, np.asarray(m._dev_dist),
+                               rtol=0, atol=1e-6)
+    assert reccs_fast.shape == (5, 2)
+
+
+def test_predict_dist_table_without_image():
+    m = api.ColorizeImageJaxDist(Xd=64)
+    m.prep_net(None)
+    assert m.predict_dist_table(np.zeros((64, 4), np.int32),
+                                np.zeros((64, 2), np.float32), 0) == -1
