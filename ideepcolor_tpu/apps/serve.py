@@ -118,10 +118,9 @@ class ColorizeService:
         if bgr is None:
             raise ValueError("undecodable image body")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        ab = np.zeros((2, self.size, self.size), np.float32)
-        mask = np.zeros((1, self.size, self.size), np.float32)
-        put_points_json(ab, mask, hints, self.size)
-        with self.lock, self.timer.stage("suggest"):
+        from ..ops.hints import points_json_to_table
+        table = points_json_to_table(hints, self.size)  # validates; None
+        with self.lock, self.timer.stage("suggest"):    # on overflow
             self.requests += 1
             if self._dist is None:
                 from .. import api
@@ -129,7 +128,14 @@ class ColorizeService:
                     Xd=self.size, maskcent=self._maskcent)
                 self._dist.prep_net(path=self._weights, dtype=self._dtype)
             self._dist.load_image_array(rgb)
-            self._dist.net_forward(ab, mask)
+            if table is not None:
+                # fast path: 1.8 KB table upload, no regression readback
+                self._dist.predict_dist_table(*table)
+            else:
+                ab = np.zeros((2, self.size, self.size), np.float32)
+                mask = np.zeros((1, self.size, self.size), np.float32)
+                put_points_json(ab, mask, hints, self.size)
+                self._dist.net_forward(ab, mask)
             centers, conf = self._dist.get_ab_reccs(h=h, w=w, K=k,
                                                     return_conf=True)
         # pixel L via the native host converter (no device mirror readback)

@@ -85,3 +85,28 @@ def put_points_json(input_ab: np.ndarray, mask: np.ndarray, hints,
         put_point(input_ab, mask, [y, x], p,
                   [float(h["ab"][0]), float(h["ab"][1])])
     return input_ab, mask
+
+
+def points_json_to_table(hints, size: int):
+    """Serve/video hint list -> (boxes, values, count) for the fused
+    table programs, with put_points_json's validation and edge clamping
+    (identical rasterization semantics: inclusive [y-p, y+p] box,
+    later hints win). Returns None when the list exceeds MAX_HINTS —
+    callers fall back to the dense path."""
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    values = np.zeros((MAX_HINTS, 2), np.float32)
+    if hints is None:
+        return boxes, values, 0
+    if not isinstance(hints, list):
+        raise ValueError("hints must be a JSON list of point dicts")
+    if len(hints) > MAX_HINTS:
+        return None
+    for i, h in enumerate(hints):
+        p = int(h.get("radius", 3))
+        if not 0 <= p < size // 2:
+            raise ValueError(f"hint radius {p} out of range")
+        y = min(max(int(h["y"]), p), size - 1 - p)
+        x = min(max(int(h["x"]), p), size - 1 - p)
+        boxes[i] = [y - p, x - p, y + p, x + p]
+        values[i] = [float(h["ab"][0]), float(h["ab"][1])]
+    return boxes, values, len(hints)

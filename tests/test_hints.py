@@ -69,3 +69,31 @@ def test_put_point_matches_notebook_semantics():
     assert mask[0, 135, 160] == 1 and mask[0, 132, 157] == 1
     assert mask[0, 138, 163] == 1 and mask[0, 139, 160] == 0
     assert np.all(ab[:, 135, 160] == [23, -69])
+
+
+def test_points_json_to_table_matches_dense():
+    """Table conversion of a serve-style hint list rasterizes identically
+    to put_points_json's dense drawing (clamping and later-wins overlap)."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.ops.hints import (points_json_to_table,
+                                          put_points_json, rasterize_hints,
+                                          MAX_HINTS)
+    pts = [{"y": 1, "x": 2, "ab": [30, -40], "radius": 3},     # clamps
+           {"y": 20, "x": 20, "ab": [-10, 55], "radius": 2},
+           {"y": 21, "x": 21, "ab": [5, 5], "radius": 2}]      # overlaps
+    ab_d = np.zeros((2, 64, 64), np.float32)
+    mask_d = np.zeros((1, 64, 64), np.float32)
+    put_points_json(ab_d, mask_d, pts, 64)
+    boxes, vals, n = points_json_to_table(pts, 64)
+    ab_t, mask_t = rasterize_hints(jnp.asarray(boxes), jnp.asarray(vals),
+                                   jnp.int32(n), size=64)
+    np.testing.assert_array_equal(np.asarray(ab_t).transpose(2, 0, 1), ab_d)
+    np.testing.assert_array_equal(
+        np.asarray(mask_t)[..., 0], mask_d[0])
+    # overflow -> None (dense fallback); bad radius raises
+    assert points_json_to_table(
+        [{"y": 5, "x": 5, "ab": [0, 0]}] * (MAX_HINTS + 1), 64) is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        points_json_to_table([{"y": 5, "x": 5, "ab": [0, 0],
+                               "radius": 40}], 64)
