@@ -211,6 +211,36 @@ def bench_batched_serving(extras):
     extras["batch16_bf16_imgs_per_sec"] = round(N / dt, 1)
 
 
+def bench_student(extras):
+    """Distilled-student serving headroom: width-0.5 SIGGRAPH student
+    (~4x fewer FLOPs, train/distill.py), bfloat16, batch 128 — the
+    fewer-FLOPs path past the teacher's 75-80% MXU ceiling. Batch must be
+    large here: at batch 16 the tunnel's dispatch rate (~66 steps/s)
+    masks the student's speed (measured 1055 imgs/s for every width)."""
+    import jax
+    import jax.numpy as jnp
+    from ideepcolor_tpu.engine.batch import batch_forward_frames
+    from ideepcolor_tpu.models import siggraph
+    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16),
+                          siggraph.init_params(jax.random.key(0), width=0.5))
+    rng = np.random.default_rng(6)
+    N = 128
+    l = jnp.asarray(rng.uniform(-50, 50, (N, 256, 256, 1))
+                    .astype(np.float32))
+    hab = jnp.zeros((N, 256, 256, 2))
+    hm = jnp.zeros((N, 256, 256, 1))
+    run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
+                                       jnp.float32(0.0))
+    _sync(run()[0])
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps - 1):
+        run()
+    _sync(run()[0])
+    dt = (time.perf_counter() - t0) / reps
+    extras["student_w05_batch128_bf16_imgs_per_sec"] = round(N / dt, 1)
+
+
 def bench_global_hints(extras):
     """Config 3: global histogram transfer."""
     from ideepcolor_tpu import api
@@ -349,8 +379,8 @@ def main():
         cm = None
     needs_cm = (bench_throughput, bench_drag_pipeline)
     for fn in (bench_throughput, bench_drag_pipeline, bench_batched_serving,
-               bench_global_hints, bench_batch_fullres, bench_streaming,
-               bench_http_serving):
+               bench_student, bench_global_hints, bench_batch_fullres,
+               bench_streaming, bench_http_serving):
         try:
             fn(cm, extras) if fn in needs_cm else fn(extras)
         except Exception as e:  # keep the headline even if a config fails

@@ -555,12 +555,16 @@ class ColorizeImageJax(ColorizeImageBase):
         self.mask_cent = .5 if maskcent else 0
         self.pts_in_hull = make_pts_grid()               # 529x2 full grid
 
-    def prep_net(self, gpu_id=None, path='', dist=False, dtype=None):
+    def prep_net(self, gpu_id=None, path='', dist=False, dtype=None,
+                 width=1.0):
         """dtype: optional serving precision for the weights (e.g.
         'bfloat16' — the fast MXU mode, ~1-2 uint8 LSB from f32; int8 was
-        measured slower than bf16 on v5e, see docs/ROADMAP.md)."""
+        measured slower than bf16 on v5e, see docs/ROADMAP.md).
+        width: channel multiplier for a random-init reduced-FLOP student
+        (train/distill.py); checkpoints carry their width implicitly."""
         sd = _load_checkpoint(path)
-        self.params = (siggraph.init_params(jax.random.key(0)) if sd is None
+        self.params = (siggraph.init_params(jax.random.key(0), width=width)
+                       if sd is None
                        else siggraph.params_from_state_dict(sd))
         self.params = _cast_params(self.params, dtype)
         self.dist = dist

@@ -53,38 +53,64 @@ _BLOCKS: list[tuple[str, list[int], int | None]] = [
     ("model_out", [0], None),
 ]
 
-# (in_ch, out_ch, kernel, dilation) per conv, in _BLOCKS order.
-_SHAPES: dict[str, list[tuple[int, int, int, int]]] = {
-    "model1": [(4, 64, 3, 1), (64, 64, 3, 1)],
-    "model2": [(64, 128, 3, 1), (128, 128, 3, 1)],
-    "model3": [(128, 256, 3, 1), (256, 256, 3, 1), (256, 256, 3, 1)],
-    "model4": [(256, 512, 3, 1), (512, 512, 3, 1), (512, 512, 3, 1)],
-    "model5": [(512, 512, 3, 2)] * 3,
-    "model6": [(512, 512, 3, 2)] * 3,
-    "model7": [(512, 512, 3, 1)] * 3,
-    "model8up": [(512, 256, 4, 1)],
-    "model3short8": [(256, 256, 3, 1)],
-    "model8": [(256, 256, 3, 1), (256, 256, 3, 1)],
-    "model9up": [(256, 128, 4, 1)],
-    "model2short9": [(128, 128, 3, 1)],
-    "model9": [(128, 128, 3, 1)],
-    "model10up": [(128, 128, 4, 1)],
-    "model1short10": [(64, 128, 3, 1)],
-    "model10": [(128, 128, 3, 1)],
-    "model_class": [(256, 529, 1, 1)],
-    "model_out": [(128, 2, 1, 1)],
-}
+def make_shapes(c1: int = 64, c2: int = 128, c3: int = 256,
+                c4: int = 512) -> dict[str, list[tuple[int, int, int, int]]]:
+    """(in_ch, out_ch, kernel, dilation) per conv, in _BLOCKS order.
+
+    Parameterized over the four channel tiers so reduced-width student
+    variants (see :func:`scaled_channels`) share the exact topology —
+    the runtime ``apply`` reads channel counts from the weights, so any
+    tier assignment runs through the same traced program structure.
+    """
+    return {
+        "model1": [(4, c1, 3, 1), (c1, c1, 3, 1)],
+        "model2": [(c1, c2, 3, 1), (c2, c2, 3, 1)],
+        "model3": [(c2, c3, 3, 1), (c3, c3, 3, 1), (c3, c3, 3, 1)],
+        "model4": [(c3, c4, 3, 1), (c4, c4, 3, 1), (c4, c4, 3, 1)],
+        "model5": [(c4, c4, 3, 2)] * 3,
+        "model6": [(c4, c4, 3, 2)] * 3,
+        "model7": [(c4, c4, 3, 1)] * 3,
+        "model8up": [(c4, c3, 4, 1)],
+        "model3short8": [(c3, c3, 3, 1)],
+        "model8": [(c3, c3, 3, 1), (c3, c3, 3, 1)],
+        "model9up": [(c3, c2, 4, 1)],
+        "model2short9": [(c2, c2, 3, 1)],
+        "model9": [(c2, c2, 3, 1)],
+        "model10up": [(c2, c2, 4, 1)],
+        "model1short10": [(c1, c2, 3, 1)],
+        "model10": [(c2, c2, 3, 1)],
+        "model_class": [(c3, 529, 1, 1)],
+        "model_out": [(c2, 2, 1, 1)],
+    }
+
+
+# The reference architecture (ref models/pytorch/model.py:13-132).
+_SHAPES = make_shapes()
+
+
+def scaled_channels(width: float) -> tuple[int, int, int, int]:
+    """Channel tiers for a width-multiplied student, rounded up to
+    multiples of 8 (TPU lane alignment; FLOPs scale ~width^2)."""
+    r8 = lambda c: max(8, int(-(-c * width // 8)) * 8)  # noqa: E731
+    return r8(64), r8(128), r8(256), r8(512)
 
 _DECONV_BLOCKS = {"model8up", "model9up", "model10up"}
 
 Params = dict[str, jax.Array]
 
 
-def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
-    """He-normal random init (for tests / training from scratch)."""
+def init_params(key: jax.Array, dtype=jnp.float32,
+                width: float = 1.0) -> Params:
+    """He-normal random init (for tests / training from scratch).
+
+    width < 1 builds a reduced-FLOP student with the same topology
+    (channel tiers from :func:`scaled_channels`); ``apply`` runs it
+    unchanged since channel counts travel in the weights.
+    """
+    shapes = _SHAPES if width == 1.0 else make_shapes(*scaled_channels(width))
     params: Params = {}
     for block, conv_idx, bn_idx in _BLOCKS:
-        for j, (cin, cout, k, _d) in zip(conv_idx, _SHAPES[block]):
+        for j, (cin, cout, k, _d) in zip(conv_idx, shapes[block]):
             key, sub = jax.random.split(key)
             fan_in = cin * k * k
             w = jax.random.normal(sub, (k, k, cin, cout), dtype) * np.sqrt(
@@ -92,7 +118,7 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
             params[f"{block}.{j}.weight"] = w
             params[f"{block}.{j}.bias"] = jnp.zeros((cout,), dtype)
         if bn_idx is not None:
-            cout = _SHAPES[block][-1][1]
+            cout = shapes[block][-1][1]
             params[f"{block}.{bn_idx}.weight"] = jnp.ones((cout,), dtype)
             params[f"{block}.{bn_idx}.bias"] = jnp.zeros((cout,), dtype)
             params[f"{block}.{bn_idx}.running_mean"] = jnp.zeros((cout,), dtype)
@@ -122,9 +148,10 @@ def from_torch_state_dict(sd: Mapping[str, Any]) -> Params:
 
 
 def params_from_state_dict(sd: Mapping[str, Any]) -> Params:
-    """Accept either an already-converted param dict (HWIO: out-channel
-    64 last on the first conv) or a raw torch state dict (OIHW)."""
-    if np.asarray(sd["model1.0.weight"]).shape[-1] == 64:
+    """Accept either an already-converted param dict (HWIO: the 4 input
+    channels sit in axis 2 of the first conv) or a raw torch state dict
+    (OIHW: they sit in axis 1). Works at any width tier."""
+    if np.asarray(sd["model1.0.weight"]).shape[2] == 4:
         return {k: jnp.asarray(v) for k, v in sd.items()}
     return from_torch_state_dict(sd)
 

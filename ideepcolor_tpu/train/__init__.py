@@ -1,1 +1,1 @@
-from . import losses, hints_sim, step  # noqa: F401
+from . import distill, losses, hints_sim, step  # noqa: F401
