@@ -1,0 +1,149 @@
+"""Quality evaluation: PSNR vs number of revealed ground-truth hints.
+
+The paper's headline quality methodology (and the in-code probe the
+reference carries at ref data/colorize_image.py:98-109, get_result_PSNR):
+colorize held-out images with k simulated user hints, k swept over a
+curve, and report mean PSNR of the composed RGB against the original.
+The whole evaluation is one jitted program per sweep — hint reveal
+(train/hints_sim.reveal_hints_fixed, count is traced so every k reuses
+the same executable), SIGGRAPH forward, Lab->RGB composition, and
+per-image PSNR all on device; the host receives one scalar per (k, batch).
+
+Run: python -m ideepcolor_tpu.apps.eval DATA_DIR [--weights W]
+     [--hints 0,1,2,5,10,25] [--size 256] [--batch 8] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("data_dir")
+    ap.add_argument("--weights", type=str, default="",
+                    help="checkpoint (.npz/.pth/orbax); random init if "
+                         "empty (harness smoke)")
+    ap.add_argument("--hints", type=str, default="0,1,2,5,10,25",
+                    help="comma-separated hint counts (<= 32)")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="evaluate at most N images (0 = all)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--maskcent", type=float, default=0.0)
+    ap.add_argument("--half", type=int, default=2,
+                    help="hint patch half-width (patch = (2*half+1)^2)")
+    ap.add_argument("--out", type=str, default="",
+                    help="also write the curve as JSON")
+    return ap.parse_args(argv)
+
+
+def load_eval_images(root: str, size: int, limit: int = 0):
+    """Deterministic eval set: PIL decode -> RGB -> bilinear resize to
+    (size, size), float [0,1], NHWC. (The reference's load path, ref
+    data/colorize_image.py:52-66, minus the random train-time crop.)"""
+    import numpy as np
+    from PIL import Image
+
+    from ..train.data import list_images
+    paths = list_images(root)
+    if limit:
+        paths = paths[:limit]
+    out = []
+    for p in paths:
+        im = Image.open(p).convert("RGB").resize((size, size),
+                                                 Image.BILINEAR)
+        out.append(np.asarray(im, np.float32) / 255.0)
+    return np.stack(out) if out else np.zeros((0, size, size, 3),
+                                              np.float32)
+
+
+def make_eval_step(maskcent: float, half: int):
+    """(params, rgb01 NHWC, key, count) -> per-image PSNR vector."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import siggraph
+    from ..ops import colorspace
+    from ..train import hints_sim
+
+    @jax.jit
+    def step(params, rgb, key, count):
+        lab = colorspace.rgb_to_lab(rgb)
+        l, gt_ab = lab[..., :1], lab[..., 1:]
+        hint_ab, hint_mask = hints_sim.reveal_hints_fixed(
+            key, gt_ab, count, half=half)
+        pred_ab = siggraph.apply(params, l - 50.0, hint_ab, hint_mask,
+                                 maskcent)
+        pred_u8 = colorspace.lab_to_rgb_u8(
+            jnp.concatenate([l, pred_ab], -1)).astype(jnp.float32)
+        gt_u8 = jnp.round(jnp.clip(rgb, 0, 1) * 255.0)
+        mse = jnp.mean((pred_u8 - gt_u8) ** 2, axis=(1, 2, 3))
+        return 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+    return step
+
+
+def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
+             half=2):
+    """-> {count: mean PSNR} over all images (padded tail dropped)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    step = make_eval_step(maskcent, half)
+    curve: dict[int, float] = {}
+    for k in counts:
+        vals = []
+        for i in range(0, len(images), batch):
+            chunk = images[i:i + batch]
+            n = len(chunk)
+            if n < batch:      # pad to the compiled batch shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch - n, *chunk.shape[1:]),
+                                     chunk.dtype)])
+            psnr = step(params, jnp.asarray(chunk),
+                        jax.random.key(seed + i), jnp.int32(k))
+            vals.extend(np.asarray(psnr)[:n])
+        curve[int(k)] = float(np.mean(vals)) if vals else float("nan")
+    return curve
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ideepcolor_tpu.config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+    import jax
+
+    from ideepcolor_tpu.api.colorize import _load_checkpoint
+    from ideepcolor_tpu.models import siggraph
+
+    sd = _load_checkpoint(args.weights)
+    params = (siggraph.init_params(jax.random.key(0)) if sd is None
+              else siggraph.params_from_state_dict(sd))
+
+    images = load_eval_images(args.data_dir, args.size, args.limit)
+    if not len(images):
+        print("no images found")
+        return 1
+    counts = [int(c) for c in args.hints.split(",")]
+    curve = evaluate(params, images, counts, batch=args.batch,
+                     seed=args.seed, maskcent=args.maskcent,
+                     half=args.half)
+    print(f"{len(images)} images @ {args.size}px"
+          + (f", weights={args.weights}" if args.weights else
+             " (RANDOM weights — harness smoke, not a quality claim)"))
+    for k, v in curve.items():
+        print(f"hints={k:3d}  psnr={v:6.2f} dB")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"size": args.size, "n_images": len(images),
+                       "weights": args.weights, "psnr_by_hints": curve}, f)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

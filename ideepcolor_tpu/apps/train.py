@@ -30,6 +30,15 @@ def parse_args(argv=None):
     ap.add_argument("--export", type=str, default="",
                     help="also save final params-only weights (orbax dir "
                          "or .npz) directly loadable by api prep_net")
+    ap.add_argument("--distill-from", type=str, default="",
+                    help="teacher checkpoint (.npz/.pth/orbax): train a "
+                         "width-multiplied student against it instead of "
+                         "ground truth (train/distill.py); 'random' uses "
+                         "a random-init teacher (smoke runs)")
+    ap.add_argument("--width", type=float, default=0.5,
+                    help="student channel multiplier for --distill-from")
+    ap.add_argument("--teacher-dtype", type=str, default="bfloat16",
+                    help="teacher forward precision during distillation")
     return ap.parse_args(argv)
 
 
@@ -54,14 +63,40 @@ def main(argv=None):
     mesh = pmesh.make_mesh(n_data * mp, model_parallel=mp)
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
-    if args.resume:
+    distilling = bool(args.distill_from)
+    if distilling:
+        from ideepcolor_tpu.api.colorize import _load_checkpoint
+        from ideepcolor_tpu.models import siggraph
+        from ideepcolor_tpu.train import distill
+        dcfg = distill.DistillConfig(width=args.width, lr=args.lr)
+        sd = (None if args.distill_from == "random"
+              else _load_checkpoint(args.distill_from))
+        teacher = (siggraph.init_params(jax.random.key(0)) if sd is None
+                   else siggraph.params_from_state_dict(sd))
+        teacher = {k: v.astype(jnp.dtype(args.teacher_dtype))
+                   for k, v in teacher.items()}
+        print(f"distilling width={args.width} student from "
+              f"{args.distill_from} ({args.teacher_dtype} teacher)")
+        if args.resume:
+            state = distill.load_student_state(args.resume, dcfg)
+            print(f"resumed at step {int(state['step'])}")
+        else:
+            state = distill.init_student(jax.random.key(0), dcfg)
+        jitted0, shard_state, shard_batch, put_teacher = \
+            distill.make_sharded_distill_step(dcfg, mesh)
+        teacher = put_teacher(teacher)
+        jitted = lambda st, b, k: jitted0(st, teacher, b, k)  # noqa: E731
+        log_keys = ("reg", "kl")
+    elif args.resume:
         state = tstep.load_train_state(args.resume, cfg)
         print(f"resumed at step {int(state['step'])}")
     else:
         state = tstep.init_state(jax.random.key(0), cfg)
 
-    jitted, shard_state, shard_batch = tstep.make_sharded_train_step(
-        cfg, mesh)
+    if not distilling:
+        jitted, shard_state, shard_batch = tstep.make_sharded_train_step(
+            cfg, mesh)
+        log_keys = ("reg", "cls")
     loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
                                size=args.size)
     timer = StageTimer()
@@ -81,10 +116,10 @@ def main(argv=None):
             if (i + 1) % args.log_every == 0:
                 recent = list(timer.samples["step"])[-args.log_every:]
                 ips = args.batch * len(recent) / max(sum(recent), 1e-9)
+                parts = " ".join(f"{k}={float(aux[k]):.4f}"
+                                 for k in log_keys)
                 print(f"step {int(state['step'])}: "
-                      f"loss={float(aux['loss']):.4f} "
-                      f"reg={float(aux['reg']):.4f} "
-                      f"cls={float(aux['cls']):.4f} "
+                      f"loss={float(aux['loss']):.4f} {parts} "
                       f"({ips:.1f} imgs/s)", flush=True)
             if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
                 path = f"{args.ckpt}_{int(state['step'])}"

@@ -105,6 +105,13 @@ def make_distill_step(cfg: DistillConfig, jit: bool = True):
     return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
+def load_student_state(path: str, cfg: DistillConfig):
+    """Restore a student state saved by train.step.save_train_state (the
+    optimizer tree is structurally identical: adam(lr, 0.9, 0.99))."""
+    from . import step as tstep
+    return tstep.load_train_state(path, tstep.TrainConfig(lr=cfg.lr))
+
+
 def make_sharded_distill_step(cfg: DistillConfig, mesh):
     """DP over the mesh 'data' axis: teacher params replicated, batch
     sharded; XLA inserts the student-gradient all-reduce. Returns

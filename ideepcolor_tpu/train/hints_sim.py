@@ -39,13 +39,24 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
     cont = jax.random.uniform(k_alive, (n, MAX_POINTS)) > p_keep
     alive = jnp.cumprod(cont, axis=1).astype(bool)
 
-    loc = jax.random.normal(k_loc, (n, MAX_POINTS, 2))
-    loc = jnp.stack([
+    loc = _gaussian_locations(k_loc, n, h, w)
+    half = jax.random.randint(k_size, (n, MAX_POINTS), 0, 5)
+    return _reveal_batch(gt_ab, loc, half, alive)
+
+
+def _gaussian_locations(key: jax.Array, n: int, h: int, w: int) -> jax.Array:
+    """Center-weighted 2-D Gaussian patch centers, clipped in-image."""
+    loc = jax.random.normal(key, (n, MAX_POINTS, 2))
+    return jnp.stack([
         jnp.clip(loc[..., 0] * (h / 4) + h / 2, 0, h - 1),
         jnp.clip(loc[..., 1] * (w / 4) + w / 2, 0, w - 1)], -1
     ).astype(jnp.int32)
-    half = jax.random.randint(k_size, (n, MAX_POINTS), 0, 5)
 
+
+def _reveal_batch(gt_ab: jax.Array, loc: jax.Array, half: jax.Array,
+                  alive: jax.Array):
+    """Rasterize per-slot mean-ab patches -> (hint_ab, hint_mask) planes."""
+    _n, h, w, _ = gt_ab.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
@@ -79,8 +90,24 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
         ab = jnp.where(mask[..., None], vals[last], 0.0)
         return ab, mask[..., None].astype(jnp.float32)
 
-    ab, mask = jax.vmap(one)(gt_ab, loc, half, alive)
-    return ab, mask
+    return jax.vmap(one)(gt_ab, loc, half, alive)
+
+
+@partial(jax.jit, static_argnames=("half",))
+def reveal_hints_fixed(key: jax.Array, gt_ab: jax.Array, count,
+                       half: int = 2):
+    """Exactly ``count`` revealed patches per image (evaluation protocol:
+    the PSNR-vs-hint-count sweep). count is a traced int <= MAX_POINTS, so
+    one compiled program serves the whole sweep; each patch is a fixed
+    (2*half+1)^2 square (half <= 4) carrying the mean gt ab of its
+    in-image area, at the same center-weighted Gaussian locations the
+    training sampler uses."""
+    n, h, w, _ = gt_ab.shape
+    loc = _gaussian_locations(key, n, h, w)
+    halves = jnp.full((n, MAX_POINTS), half, jnp.int32)
+    alive = (jnp.arange(MAX_POINTS)[None] <
+             jnp.asarray(count, jnp.int32)) & jnp.ones((n, 1), bool)
+    return _reveal_batch(gt_ab, loc, halves, alive)
 
 
 @partial(jax.jit, static_argnames=("keep_ratio",))

@@ -83,6 +83,44 @@ def test_train_cli_smoke(tmp_path):
         assert not np.isscalar(out) and out.shape == (32, 32, 3)
 
 
+def test_train_cli_distill_smoke(tmp_path):
+    """Distillation CLI: teacher ckpt -> student ckpt -> serve closes."""
+    import shutil
+    data = tmp_path / "data"
+    data.mkdir()
+    src = "/root/reference/test_imgs/mortar_pestle.jpg"
+    if not os.path.exists(src):
+        pytest.skip("no images")
+    for i in range(3):
+        shutil.copy(src, data / f"im{i}.jpg")
+    # teacher checkpoint: a (narrow, fast) "teacher" saved as npz
+    from ideepcolor_tpu.models import siggraph
+    teacher = siggraph.init_params(__import__("jax").random.key(0),
+                                   width=0.5)
+    np.savez(tmp_path / "teacher.npz",
+             **{k: np.asarray(v) for k, v in teacher.items()})
+    from ideepcolor_tpu.apps import train as train_cli
+    rc = train_cli.main([str(data), "--steps", "3", "--batch", "2",
+                         "--size", "32", "--ckpt", str(tmp_path / "sk"),
+                         "--ckpt-every", "3", "--log-every", "1",
+                         "--distill-from", str(tmp_path / "teacher.npz"),
+                         "--width", "0.25",
+                         "--export", str(tmp_path / "student.npz")])
+    assert rc == 0
+    from ideepcolor_tpu import api
+    m = api.ColorizeImageJax(Xd=32)
+    m.prep_net(path=str(tmp_path / "student.npz"))
+    assert m.params["model1.0.weight"].shape == (3, 3, 4, 16)
+    m.set_image(np.full((32, 32, 3), 128, np.uint8))
+    out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
+    assert not np.isscalar(out) and out.shape == (32, 32, 3)
+    # resume from the student checkpoint
+    from ideepcolor_tpu.train import distill
+    st = distill.load_student_state(
+        str(tmp_path / "sk_3"), distill.DistillConfig(width=0.25))
+    assert int(st["step"]) == 3
+
+
 def test_image_folder_loader(tmp_path):
     import shutil
     src = "/root/reference/test_imgs/mortar_pestle.jpg"
