@@ -215,3 +215,81 @@ def test_suggest_endpoint(server):
     # out-of-range pixel -> 400
     c.request("POST", "/suggest?h=999&w=0", body=body)
     assert c.getresponse().status == 400
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    srv = serve.make_server(port=0, size=64, auto_batch=8)
+    svc = srv.RequestHandlerClass.service
+    svc.batcher.wait_s = 0.4          # deterministic coalescing in-test
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address, svc
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_auto_batch_coalesces_concurrent_requests(batch_server):
+    """6 concurrent net-res requests -> fewer device dispatches than
+    requests; every client gets ITS OWN frame (distinct hints -> distinct
+    outputs)."""
+    addr, svc = batch_server
+    _img, body = _png_bytes(64, 64)
+    n = 6
+    outs = [None] * n
+    errs = []
+
+    def one(i):
+        try:
+            hints = [{"y": 16 + 4 * i, "x": 16, "ab": [80.0 - 20.0 * i,
+                                                       -60.0 + 18.0 * i],
+                      "radius": 2}]
+            c = _conn(addr)
+            c.request("POST", "/colorize?fullres=0", body=body,
+                      headers={"X-Hints": json.dumps(hints)})
+            r = c.getresponse()
+            assert r.status == 200, r.read()[:200]
+            outs[i] = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                                   cv2.IMREAD_COLOR)
+        except Exception as e:  # surface thread failures in the test
+            errs.append(e)
+
+    before = svc.batcher.dispatches
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert all(o is not None and o.shape == (64, 64, 3) for o in outs)
+    # distinct hints produced distinct frames (each got its own result)
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert not np.array_equal(outs[i], outs[j]), (i, j)
+    dispatched = svc.batcher.dispatches - before
+    assert 1 <= dispatched < n, dispatched
+    # stats surface the coalescing
+    c = _conn(addr)
+    c.request("GET", "/stats")
+    stats = json.loads(c.getresponse().read())
+    assert stats["auto_batch"]["requests"] >= n
+    assert stats["auto_batch"]["avg_batch"] > 1.0
+
+
+def test_auto_batch_single_request_still_works(batch_server):
+    addr, _svc = batch_server
+    _img, body = _png_bytes(64, 64)
+    c = _conn(addr)
+    c.request("POST", "/colorize?fullres=0", body=body)
+    r = c.getresponse()
+    assert r.status == 200
+    out = cv2.imdecode(np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR)
+    assert out.shape == (64, 64, 3)
+    # fullres path ignores the batcher (per-image output resolution)
+    _img2, body2 = _png_bytes(80, 96)
+    c.request("POST", "/colorize", body=body2)
+    r = c.getresponse()
+    assert r.status == 200
+    out2 = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                        cv2.IMREAD_COLOR)
+    assert out2.shape == (80, 96, 3)
