@@ -221,24 +221,27 @@ def bench_student(extras):
     import jax.numpy as jnp
     from ideepcolor_tpu.engine.batch import batch_forward_frames
     from ideepcolor_tpu.models import siggraph
-    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16),
-                          siggraph.init_params(jax.random.key(0), width=0.5))
     rng = np.random.default_rng(6)
     N = 128
     l = jnp.asarray(rng.uniform(-50, 50, (N, 256, 256, 1))
                     .astype(np.float32))
     hab = jnp.zeros((N, 256, 256, 2))
     hm = jnp.zeros((N, 256, 256, 1))
-    run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
-                                       jnp.float32(0.0))
-    _sync(run()[0])
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps - 1):
-        run()
-    _sync(run()[0])
-    dt = (time.perf_counter() - t0) / reps
-    extras["student_w05_batch128_bf16_imgs_per_sec"] = round(N / dt, 1)
+    for width, tag in ((0.5, "w05"), (0.25, "w025")):
+        params = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16),
+            siggraph.init_params(jax.random.key(0), width=width))
+        run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
+                                           jnp.float32(0.0))
+        _sync(run()[0])
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps - 1):
+            run()
+        _sync(run()[0])
+        dt = (time.perf_counter() - t0) / reps
+        extras[f"student_{tag}_batch128_bf16_imgs_per_sec"] = round(
+            N / dt, 1)
 
 
 def bench_global_hints(extras):

@@ -43,7 +43,18 @@ def parse_args(argv=None):
 def load_eval_images(root: str, size: int, limit: int = 0):
     """Deterministic eval set: PIL decode -> RGB -> bilinear resize to
     (size, size), float [0,1], NHWC. (The reference's load path, ref
-    data/colorize_image.py:52-66, minus the random train-time crop.)"""
+    data/colorize_image.py:52-66, minus the random train-time crop.)
+    Decodes everything at once — for large sets prefer iter_image_chunks
+    (streaming, bounds host memory at one batch)."""
+    import numpy as np
+    out = list(iter_image_chunks(root, size, batch=1, limit=limit))
+    return (np.concatenate(out) if out
+            else np.zeros((0, size, size, 3), np.float32))
+
+
+def iter_image_chunks(root: str, size: int, batch: int, limit: int = 0):
+    """Yield (n,size,size,3) float chunks, decoding lazily (n <= batch;
+    the tail chunk may be short)."""
     import numpy as np
     from PIL import Image
 
@@ -51,13 +62,16 @@ def load_eval_images(root: str, size: int, limit: int = 0):
     paths = list_images(root)
     if limit:
         paths = paths[:limit]
-    out = []
+    chunk = []
     for p in paths:
         im = Image.open(p).convert("RGB").resize((size, size),
                                                  Image.BILINEAR)
-        out.append(np.asarray(im, np.float32) / 255.0)
-    return np.stack(out) if out else np.zeros((0, size, size, 3),
-                                              np.float32)
+        chunk.append(np.asarray(im, np.float32) / 255.0)
+        if len(chunk) == batch:
+            yield np.stack(chunk)
+            chunk = []
+    if chunk:
+        yield np.stack(chunk)
 
 
 def make_eval_step(maskcent: float, half: int):
@@ -88,27 +102,43 @@ def make_eval_step(maskcent: float, half: int):
 
 def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
              half=2):
-    """-> {count: mean PSNR} over all images (padded tail dropped)."""
+    """-> {count: mean PSNR} over all images (padded tail dropped).
+
+    images: an (N,S,S,3) array, or an iterable of (n,S,S,3) chunks
+    (streaming; host memory bounded at one chunk). Chunks loop OUTER and
+    counts inner, so each image decodes once and every count sees the
+    same hint locations (same per-chunk key)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    step = make_eval_step(maskcent, half)
-    curve: dict[int, float] = {}
+    from ..train.hints_sim import MAX_POINTS
     for k in counts:
-        vals = []
-        for i in range(0, len(images), batch):
-            chunk = images[i:i + batch]
-            n = len(chunk)
-            if n < batch:      # pad to the compiled batch shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((batch - n, *chunk.shape[1:]),
-                                     chunk.dtype)])
-            psnr = step(params, jnp.asarray(chunk),
-                        jax.random.key(seed + i), jnp.int32(k))
-            vals.extend(np.asarray(psnr)[:n])
-        curve[int(k)] = float(np.mean(vals)) if vals else float("nan")
-    return curve
+        if not 0 <= int(k) <= MAX_POINTS:
+            raise ValueError(f"hint count {k} outside [0, {MAX_POINTS}]")
+
+    if isinstance(images, np.ndarray):
+        arr = images
+        images = (arr[i:i + batch] for i in range(0, len(arr), batch))
+
+    step = make_eval_step(maskcent, half)
+    sums = {int(k): 0.0 for k in counts}
+    seen = 0
+    for ci, chunk in enumerate(images):
+        chunk = np.asarray(chunk)
+        n = len(chunk)
+        if n < batch:          # pad to the compiled batch shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, *chunk.shape[1:]),
+                                 chunk.dtype)])
+        dev = jnp.asarray(chunk)
+        key = jax.random.key(seed + ci * batch)
+        for k in counts:
+            psnr = step(params, dev, key, jnp.int32(k))
+            sums[int(k)] += float(np.asarray(psnr)[:n].sum())
+        seen += n
+    return {k: (s / seen if seen else float("nan"))
+            for k, s in sums.items()}
 
 
 def main(argv=None):
@@ -124,22 +154,27 @@ def main(argv=None):
     params = (siggraph.init_params(jax.random.key(0)) if sd is None
               else siggraph.params_from_state_dict(sd))
 
-    images = load_eval_images(args.data_dir, args.size, args.limit)
-    if not len(images):
+    from ideepcolor_tpu.train.data import list_images
+    paths = list_images(args.data_dir)
+    if args.limit:
+        paths = paths[:args.limit]
+    if not paths:
         print("no images found")
         return 1
     counts = [int(c) for c in args.hints.split(",")]
-    curve = evaluate(params, images, counts, batch=args.batch,
+    chunks = iter_image_chunks(args.data_dir, args.size, args.batch,
+                               args.limit)
+    curve = evaluate(params, chunks, counts, batch=args.batch,
                      seed=args.seed, maskcent=args.maskcent,
                      half=args.half)
-    print(f"{len(images)} images @ {args.size}px"
+    print(f"{len(paths)} images @ {args.size}px"
           + (f", weights={args.weights}" if args.weights else
              " (RANDOM weights — harness smoke, not a quality claim)"))
     for k, v in curve.items():
         print(f"hints={k:3d}  psnr={v:6.2f} dB")
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"size": args.size, "n_images": len(images),
+            json.dump({"size": args.size, "n_images": len(paths),
                        "weights": args.weights, "psnr_by_hints": curve}, f)
         print(f"wrote {args.out}")
     return 0

@@ -70,7 +70,15 @@ class _AutoBatcher:
                  max_wait_ms: float = 5.0):
         import queue
         self.service = service
-        self.max_batch = int(max_batch)
+        # round DOWN to a power of two so padded dispatches never exceed
+        # the configured bound (the user may have sized it to memory)
+        self.max_batch = 1 << (max(int(max_batch), 1).bit_length() - 1)
+        # batch shapes must divide the mesh's batch axes when sharded
+        self.align = 1
+        if service.mesh is not None:
+            self.align = (service.mesh.shape.get("data", 1)
+                          * service.mesh.shape.get("dcn", 1))
+            self.max_batch = max(self.max_batch, self.align)
         self.wait_s = float(max_wait_ms) / 1e3
         self.q: "queue.Queue" = queue.Queue()
         self.dispatches = 0
@@ -109,16 +117,28 @@ class _AutoBatcher:
             cap = 1
             while cap < n:
                 cap *= 2
+            if cap % self.align:        # sharded batch must divide the mesh
+                cap = -(-cap // self.align) * self.align
             pad = cap - n
             try:
                 imgs = np.stack([it[0] for it in items]
                                 + [items[0][0]] * pad)
-                hab = np.stack([it[1] for it in items]
-                               + [items[0][1]] * pad)
-                hm = np.stack([it[2] for it in items]
-                              + [items[0][2]] * pad)
+                size = imgs.shape[1]
+                if any(it[1] is not None for it in items):
+                    z2 = np.zeros((size, size, 2), np.float32)
+                    z1 = np.zeros((size, size, 1), np.float32)
+                    hab = np.stack([it[1] if it[1] is not None else z2
+                                    for it in items] + [z2] * pad)
+                    hm = np.stack([it[2] if it[2] is not None else z1
+                                   for it in items] + [z1] * pad)
+                else:
+                    # hint-less batch: let the engine synthesize zeros on
+                    # device (the dense planes would upload ~768 KB/image
+                    # over a transport that retains upload bytes in RSS)
+                    hab = hm = None
                 svc = self.service
                 with svc.lock, svc.timer.stage("colorize_batched"):
+                    svc.requests += n
                     frames = colorize_batch(
                         svc.model.params, imgs, hint_ab=hab, hint_mask=hm,
                         maskcent=float(svc.model.mask_cent), mesh=svc.mesh)
@@ -175,11 +195,12 @@ class ColorizeService:
         put_points_json(ab, mask, hints, self.size)
         if not fullres and self.batcher is not None:
             # dynamic batching: coalesce with concurrent net-res requests
+            # (the dispatch itself counts the request, under the lock)
             rgb_net = cv2.resize(rgb, (self.size, self.size))
-            self.requests += 1
-            result = self.batcher.submit(rgb_net,
-                                         ab.transpose(1, 2, 0),
-                                         mask.transpose(1, 2, 0))
+            result = self.batcher.submit(
+                rgb_net,
+                ab.transpose(1, 2, 0) if hints else None,
+                mask.transpose(1, 2, 0) if hints else None)
             ok, png = cv2.imencode(".png", result[:, :, ::-1])
             if not ok:
                 raise RuntimeError("png encode failed")

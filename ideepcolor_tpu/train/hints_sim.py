@@ -102,6 +102,11 @@ def reveal_hints_fixed(key: jax.Array, gt_ab: jax.Array, count,
     (2*half+1)^2 square (half <= 4) carrying the mean gt ab of its
     in-image area, at the same center-weighted Gaussian locations the
     training sampler uses."""
+    if not 0 <= half <= 4:
+        # _reveal_batch's patch-mean window is fixed at 9x9 (PMAX=4);
+        # a larger half would reveal a mask whose values silently average
+        # only the central 9x9
+        raise ValueError(f"half must be in [0, 4], got {half}")
     n, h, w, _ = gt_ab.shape
     loc = _gaussian_locations(key, n, h, w)
     halves = jnp.full((n, MAX_POINTS), half, jnp.int32)

@@ -87,3 +87,34 @@ def test_sample_hints_unchanged_after_refactor():
     ab, mask = np.asarray(ab), np.asarray(mask)
     assert ab.shape == (4, 32, 32, 2) and mask.shape == (4, 32, 32, 1)
     assert np.all(ab[mask[..., 0] == 0] == 0)
+
+
+def test_eval_validates_counts_and_half():
+    from ideepcolor_tpu.apps import eval as eval_cli
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(0), width=0.25)
+    imgs = np.zeros((2, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="hint count"):
+        eval_cli.evaluate(params, imgs, [0, 50], batch=2)
+    with pytest.raises(ValueError, match="half"):
+        hints_sim.reveal_hints_fixed(jax.random.key(0),
+                                     jnp.zeros((1, 16, 16, 2)),
+                                     jnp.int32(1), half=5)
+
+
+def test_evaluate_streaming_chunks_match_array(tmp_path):
+    """Streaming chunk iterator == in-memory array (same seeds/keys)."""
+    from ideepcolor_tpu.apps import eval as eval_cli
+    from ideepcolor_tpu.models import siggraph
+    from PIL import Image
+    params = siggraph.init_params(jax.random.key(0), width=0.25)
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)
+                        ).save(tmp_path / f"i{i}.png")
+    arr = eval_cli.load_eval_images(str(tmp_path), 32)
+    assert arr.shape == (3, 32, 32, 3)
+    c_arr = eval_cli.evaluate(params, arr, [0, 2], batch=2, seed=3)
+    chunks = eval_cli.iter_image_chunks(str(tmp_path), 32, batch=2)
+    c_stream = eval_cli.evaluate(params, chunks, [0, 2], batch=2, seed=3)
+    assert c_arr == c_stream

@@ -293,3 +293,55 @@ def test_auto_batch_single_request_still_works(batch_server):
     out2 = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
                         cv2.IMREAD_COLOR)
     assert out2.shape == (80, 96, 3)
+
+
+def test_auto_batch_mesh_alignment():
+    """With --mesh, padded dispatch sizes must divide the mesh batch axes
+    (a 3-request burst on an 8-device mesh pads to 8, not 4)."""
+    srv = serve.make_server(port=0, size=64, auto_batch=8, use_mesh=True)
+    svc = srv.RequestHandlerClass.service
+    assert svc.mesh is not None
+    assert svc.batcher.align == 8
+    svc.batcher.wait_s = 0.4
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = srv.server_address
+        _img, body = _png_bytes(64, 64)
+        outs = [None] * 3
+        errs = []
+
+        def one(i):
+            try:
+                hints = [{"y": 10 + 10 * i, "x": 20,
+                          "ab": [60.0 - 30.0 * i, 20.0 * i], "radius": 2}]
+                c = _conn(addr)
+                c.request("POST", "/colorize?fullres=0", body=body,
+                          headers={"X-Hints": json.dumps(hints)})
+                r = c.getresponse()
+                assert r.status == 200, r.read()[:200]
+                outs[i] = cv2.imdecode(
+                    np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR)
+            except Exception as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errs, errs
+        assert all(o is not None and o.shape == (64, 64, 3) for o in outs)
+        assert not np.array_equal(outs[0], outs[1])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_auto_batch_rounds_max_batch_to_pow2():
+    srv = serve.make_server(port=0, size=64, auto_batch=12)
+    try:
+        assert srv.RequestHandlerClass.service.batcher.max_batch == 8
+    finally:
+        srv.server_close()
