@@ -290,6 +290,41 @@ class ColorizeService:
         np.savez(buf, frames=frames)
         return buf.getvalue()
 
+    def warmup(self, suggest: bool = False) -> None:
+        """Compile every serving program before admitting traffic (the
+        first request per program otherwise pays 15-40 s of compile on a
+        tunneled chip; a concurrent first burst pays it per batch
+        bucket). Safe to call on a live server."""
+        import cv2
+        gray = np.full((self.size, self.size, 3), 128, np.uint8)
+        ok, png = cv2.imencode(".png", gray)
+        body = png.tobytes()
+        self.colorize(body, None, fullres=True)
+        self.colorize(body, None, fullres=False)
+        if self.batcher is not None:
+            from ..engine.batch import colorize_batch
+            b = self.batcher
+            caps, c = set(), 1
+            while c <= b.max_batch:
+                caps.add(-(-c // b.align) * b.align)
+                c *= 2
+            for cap in sorted(caps):
+                imgs = np.full((cap, self.size, self.size, 3), 128,
+                               np.uint8)
+                zab = np.zeros((cap, self.size, self.size, 2), np.float32)
+                zm = np.zeros((cap, self.size, self.size, 1), np.float32)
+                with self.lock:
+                    # both per-bucket programs: hint-less and dense-hints
+                    colorize_batch(self.model.params, imgs,
+                                   maskcent=float(self.model.mask_cent),
+                                   mesh=self.mesh)
+                    colorize_batch(self.model.params, imgs, hint_ab=zab,
+                                   hint_mask=zm,
+                                   maskcent=float(self.model.mask_cent),
+                                   mesh=self.mesh)
+        if suggest:
+            self.suggest(body, h=self.size // 2, w=self.size // 2, k=9)
+
     def health(self) -> dict:
         import jax
         return {"status": "ok", "device": str(jax.devices()[0]),
@@ -402,6 +437,10 @@ def main(argv=None):
                    help="max dynamic batch for net-res /colorize "
                         "(0 = off); concurrent requests coalesce into "
                         "one device dispatch")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all serving programs (incl. every "
+                        "auto-batch bucket and /suggest) before "
+                        "accepting traffic")
     args = p.parse_args(argv)
     from ..config import enable_persistent_compile_cache
     enable_persistent_compile_cache()
@@ -409,6 +448,10 @@ def main(argv=None):
                       weights=args.weights, size=args.load_size,
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,
                       dtype=args.dtype, auto_batch=args.auto_batch)
+    if args.warmup:
+        print("warming serving programs ...", flush=True)
+        srv.RequestHandlerClass.service.warmup(suggest=True)
+        print("warmup done")
     print(f"serving on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]}  (POST /colorize, /colorize_batch; "
           f"GET /healthz)")

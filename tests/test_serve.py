@@ -345,3 +345,21 @@ def test_auto_batch_rounds_max_batch_to_pow2():
         assert srv.RequestHandlerClass.service.batcher.max_batch == 8
     finally:
         srv.server_close()
+
+
+def test_warmup_compiles_all_programs():
+    srv = serve.make_server(port=0, size=64, auto_batch=4)
+    svc = srv.RequestHandlerClass.service
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        svc.warmup(suggest=True)       # must cover fullres, net-res,
+        assert svc._dist is not None   # every bucket, and /suggest
+        addr = srv.server_address
+        _img, body = _png_bytes(64, 64)
+        c = _conn(addr)
+        c.request("POST", "/colorize?fullres=0", body=body)
+        assert c.getresponse().status == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
