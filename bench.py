@@ -299,7 +299,7 @@ def bench_http_serving(extras):
     import io
     import threading
     from ideepcolor_tpu.apps import serve
-    srv = serve.make_server(port=0, size=256)
+    srv = serve.make_server(port=0, size=256, auto_batch=16)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     try:
@@ -333,6 +333,31 @@ def bench_http_serving(extras):
             c.getresponse().read()
         dt = (time.perf_counter() - t0) / 3
         extras["http_batch16_imgs_per_sec"] = round(16 / dt, 1)
+
+        # dynamic batching: 16 concurrent net-res clients coalesce into
+        # few device dispatches (bucket programs precompiled by warmup;
+        # the persistent cache makes that cheap on reruns)
+        svc = srv.RequestHandlerClass.service
+        svc.warmup()
+
+        def one_netres(i):
+            cc = http.client.HTTPConnection(host, port, timeout=600)
+            cc.request("POST", "/colorize?fullres=0", body=body)
+            cc.getresponse().read()
+
+        for trial in range(2):          # second burst is fully warm
+            threads = [threading.Thread(target=one_netres, args=(i,))
+                       for i in range(16)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            burst = time.perf_counter() - t0
+        extras["http_autobatch16_req_per_sec"] = round(16 / burst, 1)
+        extras["http_autobatch_avg_batch"] = round(
+            svc.batcher.batched_requests / max(svc.batcher.dispatches, 1),
+            1)
     finally:
         srv.shutdown()
         srv.server_close()
