@@ -35,6 +35,15 @@ POST /colorize_batch     (Content-Type: application/x-npz)
     Response: npz with ``frames`` (N,S,S,3 uint8) via engine.batch
     (optionally mesh-sharded over batch with --mesh).
 
+POST /colorize_global    (Content-Type: application/x-npz)
+    Global histogram transfer as a service (the reference's
+    DemoGlobalHistogramTransfer notebook flow, SURVEY.md §3.5): npz body
+    with ``image`` and ``ref`` (both encoded image bytes as uint8
+    arrays). The ref image's 313-bin global ab histogram
+    (models/global_stats.extract) conditions the colorization of
+    ``image`` through the global-hints graph. ``?fullres=0`` for the
+    net-res frame. Response: image/png.
+
 POST /suggest?h=Y&w=X[&k=K]   (Content-Type: image bytes)
     Color recommendations at pixel (h, w) in Xd-grid coordinates — the
     GUI's suggestion palette as a service (distribution head + on-device
@@ -158,7 +167,8 @@ class ColorizeService:
 
     def __init__(self, weights: str = '', size: int = 256,
                  maskcent: bool = False, use_mesh: bool = False,
-                 dtype: str | None = None, auto_batch: int = 0):
+                 dtype: str | None = None, auto_batch: int = 0,
+                 glob_weights: str = ''):
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
@@ -169,6 +179,10 @@ class ColorizeService:
         self._maskcent = maskcent
         self._dtype = dtype
         self._dist = None            # built lazily on first /suggest
+        self._glob = None            # built lazily on first /colorize_global
+        self._glob_weights = glob_weights   # the glob graph is a separate
+        # param family (caffe global-hints net), so it takes its own
+        # checkpoint; '' = seeded random init
         from ..utils.profiling import StageTimer
         self.timer = StageTimer(maxlen=1000)
         self.mesh = None
@@ -268,6 +282,53 @@ class ColorizeService:
         colors = lab2rgb_transpose(lab[:1], lab[1:]).reshape(k, 3)
         return {"colors": colors.tolist(),
                 "conf": [float(c) for c in np.asarray(conf)]}
+
+    # -- global histogram transfer --
+    def colorize_global(self, body: bytes, fullres: bool = True) -> bytes:
+        """npz {image, ref} (encoded bytes as uint8 arrays) -> PNG of
+        ``image`` colorized under ``ref``'s global ab histogram."""
+        import cv2
+        try:
+            with np.load(io.BytesIO(body)) as z:
+                if "image" not in z or "ref" not in z:
+                    raise ValueError("npz must contain 'image' and 'ref'")
+                img_raw = np.asarray(z["image"], np.uint8)
+                ref_raw = np.asarray(z["ref"], np.uint8)
+        except ValueError:
+            raise
+        except Exception as e:          # zipfile/pickle decode errors
+            raise ValueError(f"not a valid npz body: {e}")
+        bgr = cv2.imdecode(img_raw, cv2.IMREAD_COLOR)
+        ref_bgr = cv2.imdecode(ref_raw, cv2.IMREAD_COLOR)
+        if bgr is None or ref_bgr is None:
+            raise ValueError("undecodable image/ref body")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        # the stats graph is fixed-size (4x4 avgpool needs %4 dims; the
+        # reference's global_stats.prototxt input is 256^2) and resizing
+        # keeps ONE compiled extract program across arbitrary ref sizes
+        ref_rgb = cv2.resize(cv2.cvtColor(ref_bgr, cv2.COLOR_BGR2RGB),
+                             (self.size, self.size))
+        ab = np.zeros((2, self.size, self.size), np.float32)
+        mask = np.zeros((1, self.size, self.size), np.float32)
+        with self.lock, self.timer.stage("colorize_global"):
+            self.requests += 1
+            if self._glob is None:
+                from .. import api
+                self._glob = api.ColorizeImageJaxCaffeGlobDist(Xd=self.size)
+                self._glob.prep_net(caffemodel_path=self._glob_weights)
+            from ..models import global_stats
+            hist = np.asarray(global_stats.extract(
+                ref_rgb.astype(np.float32) / 255.0)["glob_ab_313"])
+            self._glob.load_image_array(rgb)
+            result = self._glob.net_forward(ab, mask, hist)
+            if isinstance(result, int):
+                raise RuntimeError("forward failed")
+            if fullres:
+                result = self._glob.get_img_fullres()
+        ok, png = cv2.imencode(".png", result[:, :, ::-1])
+        if not ok:
+            raise RuntimeError("png encode failed")
+        return png.tobytes()
 
     # -- batch --
     def colorize_batch(self, body: bytes) -> bytes:
@@ -392,6 +453,10 @@ class _Handler(BaseHTTPRequestHandler):
             elif path == "/colorize_batch":
                 out = self.service.colorize_batch(body)
                 self._reply(200, out, "application/x-npz")
+            elif path == "/colorize_global":
+                png = self.service.colorize_global(
+                    body, fullres="fullres=0" not in query)
+                self._reply(200, png, "image/png")
             elif path == "/suggest":
                 from urllib.parse import parse_qs
                 q = parse_qs(query)
@@ -437,6 +502,10 @@ def main(argv=None):
                    help="max dynamic batch for net-res /colorize "
                         "(0 = off); concurrent requests coalesce into "
                         "one device dispatch")
+    p.add_argument("--glob-weights", type=str, default="",
+                   help="checkpoint for the global-hints graph "
+                        "(/colorize_global; a separate param family from "
+                        "--weights)")
     p.add_argument("--warmup", action="store_true",
                    help="compile all serving programs (incl. every "
                         "auto-batch bucket and /suggest) before "
@@ -447,7 +516,8 @@ def main(argv=None):
     srv = make_server(port=args.port, host=args.host,
                       weights=args.weights, size=args.load_size,
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,
-                      dtype=args.dtype, auto_batch=args.auto_batch)
+                      dtype=args.dtype, auto_batch=args.auto_batch,
+                      glob_weights=args.glob_weights)
     if args.warmup:
         print("warming serving programs ...", flush=True)
         srv.RequestHandlerClass.service.warmup(suggest=True)

@@ -363,3 +363,45 @@ def test_warmup_compiles_all_programs():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_colorize_global_histogram_transfer(server):
+    """npz {image, ref} -> PNG; different refs condition different
+    outputs (the DemoGlobalHistogramTransfer flow as a service)."""
+    img, body = _png_bytes(64, 64)
+    ref1 = (np.zeros((48, 48, 3)) + [200, 40, 40]).astype(np.uint8)
+    ref2 = (np.zeros((48, 48, 3)) + [40, 40, 200]).astype(np.uint8)
+
+    def post(ref):
+        ok, ref_png = cv2.imencode(".png", ref[:, :, ::-1])
+        assert ok
+        buf = io.BytesIO()
+        np.savez(buf, image=np.frombuffer(body, np.uint8),
+                 ref=np.frombuffer(ref_png.tobytes(), np.uint8))
+        c = _conn(server)
+        c.request("POST", "/colorize_global?fullres=0",
+                  body=buf.getvalue(),
+                  headers={"Content-Type": "application/x-npz"})
+        r = c.getresponse()
+        assert r.status == 200, r.read()[:200]
+        return cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                            cv2.IMREAD_COLOR)
+
+    out1, out2 = post(ref1), post(ref2)
+    assert out1.shape == (64, 64, 3)
+    assert not np.array_equal(out1, out2)
+    # fullres form keeps the input resolution
+    ok, ref_png = cv2.imencode(".png", ref1[:, :, ::-1])
+    buf = io.BytesIO()
+    np.savez(buf, image=np.frombuffer(body, np.uint8),
+             ref=np.frombuffer(ref_png.tobytes(), np.uint8))
+    c = _conn(server)
+    c.request("POST", "/colorize_global", body=buf.getvalue())
+    r = c.getresponse()
+    assert r.status == 200
+    full = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                        cv2.IMREAD_COLOR)
+    assert full.shape == img.shape
+    # malformed npz -> 400
+    c.request("POST", "/colorize_global", body=b"not-an-npz")
+    assert c.getresponse().status == 400
