@@ -161,3 +161,39 @@ def test_interactive_submits_do_not_recompile(compile_log):
     sess.submit(boxes, vals, 2)
     sess.latest()
     assert compile_log.compiles() == []
+
+
+def test_auto_batch_buckets_bound_compiles(compile_log):
+    """Bursts of every size 1..6 through the serve auto-batcher compile
+    at most the power-of-two bucket programs {1,2,4,8}, not one program
+    per burst size."""
+    import threading
+    from ideepcolor_tpu.apps import serve
+
+    srv = serve.make_server(port=0, size=64, auto_batch=8)
+    svc = srv.RequestHandlerClass.service
+    svc.batcher.wait_s = 0.25
+    try:
+        def burst(n, seed):
+            outs = []
+            def one(i):
+                outs.append(svc.batcher.submit(
+                    _rand_image(seed + i, 64, 64), None, None))
+            th = [threading.Thread(target=one, args=(i,))
+                  for i in range(n)]
+            for t in th:
+                t.start()
+            for t in th:
+                t.join(timeout=300)
+            assert len(outs) == n
+        burst(1, 0)                      # warm bucket 1
+        before = len(compile_log.compiles())
+        for n in (2, 3, 4, 5, 6, 1, 3):
+            burst(n, n * 10)
+        new = len(compile_log.compiles()) - before
+        # buckets {2, 4, 8} at most (1 already warm; 3->4, 5/6->8), each
+        # bucket = 2 programs (_prep_l_mc + batch_forward_frames); burst
+        # sizes 3/5/6 must NOT compile their own programs
+        assert new <= 6, compile_log.compiles()[-new:]
+    finally:
+        srv.server_close()
