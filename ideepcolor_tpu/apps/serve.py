@@ -95,13 +95,16 @@ class _AutoBatcher:
         threading.Thread(target=self._run, daemon=True,
                          name="serve-autobatch").start()
 
-    def submit(self, rgb_net: np.ndarray, hint_ab: np.ndarray,
-               hint_mask: np.ndarray) -> np.ndarray:
+    def submit(self, rgb_net: np.ndarray, boxes: np.ndarray,
+               values: np.ndarray, count: int) -> np.ndarray:
         """Blocks until the coalesced dispatch completes; returns the
-        (S,S,3) uint8 frame for this request."""
+        (S,S,3) uint8 frame for this request. Hints travel as a fixed
+        (MAX_HINTS, 4)/(MAX_HINTS, 2) table + live count (~1.5 KB vs
+        ~768 KB dense planes — the tunnel transport retains upload bytes
+        in host RSS, so the table path is also the memory-stable one)."""
         ev = threading.Event()
         slot: dict = {}
-        self.q.put((rgb_net, hint_ab, hint_mask, ev, slot))
+        self.q.put((rgb_net, boxes, values, count, ev, slot))
         ev.wait()
         if "err" in slot:
             raise slot["err"]
@@ -110,7 +113,7 @@ class _AutoBatcher:
     def _run(self):
         import queue as _q
         import time as _t
-        from ..engine.batch import colorize_batch
+        from ..engine.batch import colorize_batch_table
         while True:
             items = [self.q.get()]
             deadline = _t.monotonic() + self.wait_s
@@ -132,34 +135,27 @@ class _AutoBatcher:
             try:
                 imgs = np.stack([it[0] for it in items]
                                 + [items[0][0]] * pad)
-                size = imgs.shape[1]
-                if any(it[1] is not None for it in items):
-                    z2 = np.zeros((size, size, 2), np.float32)
-                    z1 = np.zeros((size, size, 1), np.float32)
-                    hab = np.stack([it[1] if it[1] is not None else z2
-                                    for it in items] + [z2] * pad)
-                    hm = np.stack([it[2] if it[2] is not None else z1
-                                   for it in items] + [z1] * pad)
-                else:
-                    # hint-less batch: let the engine synthesize zeros on
-                    # device (the dense planes would upload ~768 KB/image
-                    # over a transport that retains upload bytes in RSS)
-                    hab = hm = None
+                boxes = np.stack([it[1] for it in items]
+                                 + [items[0][1]] * pad)
+                values = np.stack([it[2] for it in items]
+                                  + [items[0][2]] * pad)
+                counts = np.asarray([it[3] for it in items] + [0] * pad,
+                                    np.int32)
                 svc = self.service
                 with svc.lock, svc.timer.stage("colorize_batched"):
                     svc.requests += n
-                    frames = colorize_batch(
-                        svc.model.params, imgs, hint_ab=hab, hint_mask=hm,
+                    frames = colorize_batch_table(
+                        svc.model.params, imgs, boxes, values, counts,
                         maskcent=float(svc.model.mask_cent), mesh=svc.mesh)
                 self.dispatches += 1
                 self.batched_requests += n
                 for i, it in enumerate(items):
-                    it[4]["frame"] = frames[i]
-                    it[3].set()
+                    it[5]["frame"] = frames[i]
+                    it[4].set()
             except Exception as e:   # propagate to every waiter
                 for it in items:
-                    it[4]["err"] = e
-                    it[3].set()
+                    it[5]["err"] = e
+                    it[4].set()
 
 
 class ColorizeService:
@@ -204,21 +200,22 @@ class ColorizeService:
         if bgr is None:
             raise ValueError("undecodable image body")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if not fullres and self.batcher is not None:
+            from ..ops.hints import points_json_to_table
+            table = points_json_to_table(hints, self.size)
+            if table is not None:     # falls through on >MAX_HINTS hints
+                # dynamic batching: coalesce with concurrent net-res
+                # requests (the dispatch counts the request, under the
+                # lock); hints ride the ~1.5 KB table
+                rgb_net = cv2.resize(rgb, (self.size, self.size))
+                result = self.batcher.submit(rgb_net, *table)
+                ok, png = cv2.imencode(".png", result[:, :, ::-1])
+                if not ok:
+                    raise RuntimeError("png encode failed")
+                return png.tobytes()
         ab = np.zeros((2, self.size, self.size), np.float32)
         mask = np.zeros((1, self.size, self.size), np.float32)
         put_points_json(ab, mask, hints, self.size)
-        if not fullres and self.batcher is not None:
-            # dynamic batching: coalesce with concurrent net-res requests
-            # (the dispatch itself counts the request, under the lock)
-            rgb_net = cv2.resize(rgb, (self.size, self.size))
-            result = self.batcher.submit(
-                rgb_net,
-                ab.transpose(1, 2, 0) if hints else None,
-                mask.transpose(1, 2, 0) if hints else None)
-            ok, png = cv2.imencode(".png", result[:, :, ::-1])
-            if not ok:
-                raise RuntimeError("png encode failed")
-            return png.tobytes()
         with self.lock, self.timer.stage(
                 "colorize_fullres" if fullres else "colorize"):
             self.requests += 1
@@ -363,7 +360,8 @@ class ColorizeService:
         self.colorize(body, None, fullres=True)
         self.colorize(body, None, fullres=False)
         if self.batcher is not None:
-            from ..engine.batch import colorize_batch
+            from ..engine.batch import colorize_batch_table
+            from ..ops.hints import MAX_HINTS
             b = self.batcher
             caps, c = set(), 1
             while c <= b.max_batch:
@@ -372,17 +370,16 @@ class ColorizeService:
             for cap in sorted(caps):
                 imgs = np.full((cap, self.size, self.size, 3), 128,
                                np.uint8)
-                zab = np.zeros((cap, self.size, self.size, 2), np.float32)
-                zm = np.zeros((cap, self.size, self.size, 1), np.float32)
                 with self.lock:
-                    # both per-bucket programs: hint-less and dense-hints
-                    colorize_batch(self.model.params, imgs,
-                                   maskcent=float(self.model.mask_cent),
-                                   mesh=self.mesh)
-                    colorize_batch(self.model.params, imgs, hint_ab=zab,
-                                   hint_mask=zm,
-                                   maskcent=float(self.model.mask_cent),
-                                   mesh=self.mesh)
+                    # one table program per bucket (covers hinted and
+                    # hint-less traffic alike)
+                    colorize_batch_table(
+                        self.model.params, imgs,
+                        np.zeros((cap, MAX_HINTS, 4), np.int32),
+                        np.zeros((cap, MAX_HINTS, 2), np.float32),
+                        np.zeros((cap,), np.int32),
+                        maskcent=float(self.model.mask_cent),
+                        mesh=self.mesh)
         if suggest:
             self.suggest(body, h=self.size // 2, w=self.size // 2, k=9)
 

@@ -61,6 +61,53 @@ def batch_forward_frames(params, l_mc: jax.Array, hint_ab: jax.Array,
     return rgb, ab
 
 
+@jax.jit
+def batch_forward_frames_table(params, l_mc: jax.Array, boxes: jax.Array,
+                               values: jax.Array, counts: jax.Array,
+                               maskcent: jax.Array
+                               ) -> tuple[jax.Array, jax.Array]:
+    """Batched colorization fed by per-image hint TABLES: (N,M,4) int32
+    boxes + (N,M,2) values + (N,) live counts instead of dense planes.
+
+    The memory-stable serving form on transports that retain upload bytes
+    (CLAUDE.md: host RSS grows ~= bytes uploaded): per-image hint uploads
+    shrink from ~768 KB dense (ab, mask) planes to ~1.5 KB of table, with
+    rasterization riding inside the program (vmapped
+    ops.hints.rasterize_hints) — the batched form of the GUI's table-click
+    path."""
+    from ..ops.hints import rasterize_hints
+    size = l_mc.shape[1]
+    hint_ab, hint_mask = jax.vmap(
+        lambda b, v, c: rasterize_hints(b, v, c, size=size))(
+        boxes, values, counts)
+    return batch_forward_frames(params, l_mc, hint_ab, hint_mask, maskcent)
+
+
+def colorize_batch_table(params, images_rgb, boxes, values, counts,
+                         maskcent: float = 0.0, mesh=None):
+    """Table-hint form of :func:`colorize_batch`: uint8 RGB images +
+    per-image hint tables in, colorized uint8 frames out."""
+    import numpy as np
+    imgs = jnp.asarray(np.asarray(images_rgb))
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    boxes = jnp.asarray(boxes, jnp.int32)
+    values = jnp.asarray(values, jnp.float32)
+    counts = jnp.asarray(counts, jnp.int32)
+    l_mc = _prep_l_mc(imgs)
+    mc = jnp.float32(maskcent)
+    if mesh is not None:
+        fn, place = make_sharded_table_forward(mesh)
+        with mesh:
+            l_mc, boxes, values, counts = place(l_mc, boxes, values,
+                                                counts)
+            rgb, _ab = fn(params, l_mc, boxes, values, counts, mc)
+    else:
+        rgb, _ab = batch_forward_frames_table(params, l_mc, boxes, values,
+                                              counts, mc)
+    return np.asarray(rgb)
+
+
 def colorize_batch(params, images_rgb, hint_ab=None, hint_mask=None,
                    maskcent: float = 0.0, mesh=None):
     """Convenience batched serving: uint8 RGB images in, colorized uint8
@@ -111,6 +158,23 @@ def _sharded_forward_for(mesh):
     batch_s = pmesh.batch_sharding(mesh)
     return jax.jit(batch_forward_frames,
                    out_shardings=(batch_s, batch_s)), batch_s
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_table_forward_for(mesh):
+    batch_s = pmesh.batch_sharding(mesh)
+    return jax.jit(batch_forward_frames_table,
+                   out_shardings=(batch_s, batch_s)), batch_s
+
+
+def make_sharded_table_forward(mesh):
+    """DP-sharded table-hint batched forward (cached per mesh)."""
+    fn, batch_s = _sharded_table_forward_for(mesh)
+
+    def place_batch(*arrays):
+        return tuple(jax.device_put(a, batch_s) for a in arrays)
+
+    return fn, place_batch
 
 
 def make_sharded_batch_forward(mesh):

@@ -125,3 +125,40 @@ def test_streaming_uint8_frames_match_float_path():
     (rgbf, _), = sf.drain()
     assert rgb8.dtype == np.uint8
     assert np.array_equal(rgb8, rgbf)
+
+
+def test_batch_table_matches_dense_planes():
+    """batch_forward_frames_table (on-device rasterize from ~1.5 KB
+    tables) is bit-identical to the dense-plane form for the same hints."""
+    import jax
+    import jax.numpy as jnp
+    from ideepcolor_tpu.engine.batch import (batch_forward_frames,
+                                             batch_forward_frames_table)
+    from ideepcolor_tpu.models import siggraph
+    from ideepcolor_tpu.ops.hints import MAX_HINTS, rasterize_hints
+
+    params = siggraph.init_params(jax.random.key(0), width=0.25)
+    rng = np.random.default_rng(9)
+    N, S = 3, 64
+    l_mc = jnp.asarray(rng.uniform(-50, 50, (N, S, S, 1)), jnp.float32)
+    boxes = np.zeros((N, MAX_HINTS, 4), np.int32)
+    values = np.zeros((N, MAX_HINTS, 2), np.float32)
+    counts = np.asarray([0, 1, 3], np.int32)
+    boxes[1, 0] = [10, 10, 14, 14]; values[1, 0] = [40, -30]
+    for j in range(3):
+        boxes[2, j] = [5 + 12 * j, 30, 9 + 12 * j, 34]
+        values[2, j] = [-20.0 * j, 15.0 * j]
+    rgb_t, ab_t = batch_forward_frames_table(
+        params, l_mc, jnp.asarray(boxes), jnp.asarray(values),
+        jnp.asarray(counts), jnp.float32(0.0))
+    dense = [rasterize_hints(jnp.asarray(boxes[i]), jnp.asarray(values[i]),
+                             jnp.asarray(counts[i]), size=S)
+             for i in range(N)]
+    hab = jnp.stack([d[0] for d in dense])
+    hm = jnp.stack([d[1] for d in dense])
+    rgb_d, ab_d = batch_forward_frames(params, l_mc, hab, hm,
+                                       jnp.float32(0.0))
+    assert np.array_equal(np.asarray(rgb_t), np.asarray(rgb_d))
+    assert np.array_equal(np.asarray(ab_t), np.asarray(ab_d))
+    # the hinted images differ from the hint-less one
+    assert not np.array_equal(np.asarray(rgb_t[0]), np.asarray(rgb_t[1]))

@@ -174,11 +174,15 @@ def test_auto_batch_buckets_bound_compiles(compile_log):
     svc = srv.RequestHandlerClass.service
     svc.batcher.wait_s = 0.25
     try:
+        from ideepcolor_tpu.ops.hints import MAX_HINTS
+
         def burst(n, seed):
             outs = []
+            zb = np.zeros((MAX_HINTS, 4), np.int32)
+            zv = np.zeros((MAX_HINTS, 2), np.float32)
             def one(i):
                 outs.append(svc.batcher.submit(
-                    _rand_image(seed + i, 64, 64), None, None))
+                    _rand_image(seed + i, 64, 64), zb, zv, 0))
             th = [threading.Thread(target=one, args=(i,))
                   for i in range(n)]
             for t in th:
