@@ -22,6 +22,9 @@ POST /colorize           (Content-Type: image/jpeg | image/png)
     ref DemoInteractiveColorization.ipynb cell 7). Query ``?fullres=0``
     returns the Xd x Xd frame instead of the full-resolution fusion.
     Response: image/png of the colorized result.
+    With ``--student-weights``, ``?model=fast`` serves the request on the
+    distilled reduced-width student (train/distill.py) — the
+    latency/throughput tier; each tier has its own dynamic batcher.
     With ``--auto-batch N``, concurrent ``fullres=0`` requests coalesce
     into one batched device dispatch (dynamic batching: whatever queues
     while the device is busy joins the next batch, padded to power-of-two
@@ -75,10 +78,13 @@ class _AutoBatcher:
     (~1040 imgs/s bf16 at 256²) then serves concurrent clients instead of
     the serialized per-request rate."""
 
-    def __init__(self, service: "ColorizeService", max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+    def __init__(self, service: "ColorizeService", model,
+                 max_batch: int = 16, max_wait_ms: float = 5.0):
         import queue
         self.service = service
+        self.model = model          # which net this batcher dispatches
+        # (the --student-weights fast tier gets its own batcher; mixed
+        # models cannot share one device dispatch)
         # round DOWN to a power of two so padded dispatches never exceed
         # the configured bound (the user may have sized it to memory)
         self.max_batch = 1 << (max(int(max_batch), 1).bit_length() - 1)
@@ -145,8 +151,9 @@ class _AutoBatcher:
                 with svc.lock, svc.timer.stage("colorize_batched"):
                     svc.requests += n
                     frames = colorize_batch_table(
-                        svc.model.params, imgs, boxes, values, counts,
-                        maskcent=float(svc.model.mask_cent), mesh=svc.mesh)
+                        self.model.params, imgs, boxes, values, counts,
+                        maskcent=float(self.model.mask_cent),
+                        mesh=svc.mesh)
                 self.dispatches += 1
                 self.batched_requests += n
                 for i, it in enumerate(items):
@@ -164,11 +171,18 @@ class ColorizeService:
     def __init__(self, weights: str = '', size: int = 256,
                  maskcent: bool = False, use_mesh: bool = False,
                  dtype: str | None = None, auto_batch: int = 0,
-                 glob_weights: str = ''):
+                 glob_weights: str = '', student_weights: str = ''):
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
         self.model.prep_net(path=weights, dtype=dtype)
+        # optional fast tier: a distilled reduced-width student (width is
+        # implicit in its checkpoint) served at ?model=fast
+        self.model_fast = None
+        if student_weights:
+            self.model_fast = api.ColorizeImageJax(Xd=size,
+                                                   maskcent=maskcent)
+            self.model_fast.prep_net(path=student_weights, dtype=dtype)
         self.lock = threading.Lock()
         self.requests = 0
         self._weights = weights
@@ -187,20 +201,28 @@ class ColorizeService:
             from ..parallel import mesh as pmesh
             if len(jax.devices()) > 1:
                 self.mesh = pmesh.make_mesh()
-        self.batcher = (_AutoBatcher(self, max_batch=auto_batch)
+        self.batcher = (_AutoBatcher(self, self.model,
+                                     max_batch=auto_batch)
                         if auto_batch > 0 else None)
+        self.batcher_fast = (
+            _AutoBatcher(self, self.model_fast, max_batch=auto_batch)
+            if auto_batch > 0 and self.model_fast is not None else None)
 
     # -- single image --
     def colorize(self, img_bytes: bytes, hints=None,
-                 fullres: bool = True) -> bytes:
+                 fullres: bool = True, fast: bool = False) -> bytes:
         import cv2
         from ..ops.hints import put_points_json
+        if fast and self.model_fast is None:
+            raise ValueError("no fast tier: start with --student-weights")
+        model = self.model_fast if fast else self.model
+        batcher = self.batcher_fast if fast else self.batcher
         raw = np.frombuffer(img_bytes, np.uint8)
         bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
         if bgr is None:
             raise ValueError("undecodable image body")
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        if not fullres and self.batcher is not None:
+        if not fullres and batcher is not None:
             from ..ops.hints import points_json_to_table
             table = points_json_to_table(hints, self.size)
             if table is not None:     # falls through on >MAX_HINTS hints
@@ -208,7 +230,7 @@ class ColorizeService:
                 # requests (the dispatch counts the request, under the
                 # lock); hints ride the ~1.5 KB table
                 rgb_net = cv2.resize(rgb, (self.size, self.size))
-                result = self.batcher.submit(rgb_net, *table)
+                result = batcher.submit(rgb_net, *table)
                 ok, png = cv2.imencode(".png", result[:, :, ::-1])
                 if not ok:
                     raise RuntimeError("png encode failed")
@@ -219,13 +241,13 @@ class ColorizeService:
         with self.lock, self.timer.stage(
                 "colorize_fullres" if fullres else "colorize"):
             self.requests += 1
-            self.model.load_image_array(rgb)
+            model.load_image_array(rgb)
             if fullres:
-                result = self.model.net_forward_fullres(ab, mask)
+                result = model.net_forward_fullres(ab, mask)
             else:
                 # net-res only: plain click program, no full-res fusion
                 # or full-frame readback
-                result = self.model.net_forward(ab, mask)
+                result = model.net_forward(ab, mask)
             if isinstance(result, int):
                 raise RuntimeError("forward failed")
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
@@ -329,13 +351,38 @@ class ColorizeService:
 
     # -- batch --
     def colorize_batch(self, body: bytes) -> bytes:
-        from ..engine.batch import colorize_batch
+        from ..engine.batch import colorize_batch, colorize_batch_table
         with np.load(io.BytesIO(body)) as z:
             images = z["images"]
             hint_ab = z["hint_ab"] if "hint_ab" in z else None
             hint_mask = z["hint_mask"] if "hint_mask" in z else None
+            boxes = z["boxes"] if "boxes" in z else None
+            values = z["values"] if "values" in z else None
+            counts = z["counts"] if "counts" in z else None
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(f"images must be (N,S,S,3), got {images.shape}")
+        if boxes is not None:
+            # table-hint form: (N,M,4) boxes + (N,M,2) values + (N,)
+            # counts, rasterized on device (the memory-stable upload)
+            if values is None or counts is None:
+                raise ValueError("boxes requires values and counts")
+            if hint_ab is not None:
+                raise ValueError("pass either table or dense hints")
+            n = len(images)
+            if (boxes.ndim != 3 or boxes.shape[0] != n
+                    or values.shape[:2] != boxes.shape[:2]
+                    or counts.shape != (n,)):
+                raise ValueError(
+                    f"table shapes mismatch: {boxes.shape} "
+                    f"{values.shape} {counts.shape} for {n} images")
+            with self.lock, self.timer.stage("colorize_batch"):
+                self.requests += 1
+                frames = colorize_batch_table(
+                    self.model.params, images, boxes, values, counts,
+                    maskcent=float(self.model.mask_cent), mesh=self.mesh)
+            buf = io.BytesIO()
+            np.savez(buf, frames=frames)
+            return buf.getvalue()
         with self.lock, self.timer.stage("colorize_batch"):
             self.requests += 1
             frames = colorize_batch(self.model.params, images,
@@ -359,10 +406,14 @@ class ColorizeService:
         body = png.tobytes()
         self.colorize(body, None, fullres=True)
         self.colorize(body, None, fullres=False)
-        if self.batcher is not None:
-            from ..engine.batch import colorize_batch_table
-            from ..ops.hints import MAX_HINTS
-            b = self.batcher
+        if self.model_fast is not None:
+            self.colorize(body, None, fullres=True, fast=True)
+            self.colorize(body, None, fullres=False, fast=True)
+        from ..engine.batch import colorize_batch_table
+        from ..ops.hints import MAX_HINTS
+        for b in (self.batcher, self.batcher_fast):
+            if b is None:
+                continue
             caps, c = set(), 1
             while c <= b.max_batch:
                 caps.add(-(-c // b.align) * b.align)
@@ -371,14 +422,14 @@ class ColorizeService:
                 imgs = np.full((cap, self.size, self.size, 3), 128,
                                np.uint8)
                 with self.lock:
-                    # one table program per bucket (covers hinted and
-                    # hint-less traffic alike)
+                    # one table program per bucket per tier (covers
+                    # hinted and hint-less traffic alike)
                     colorize_batch_table(
-                        self.model.params, imgs,
+                        b.model.params, imgs,
                         np.zeros((cap, MAX_HINTS, 4), np.int32),
                         np.zeros((cap, MAX_HINTS, 2), np.float32),
                         np.zeros((cap,), np.int32),
-                        maskcent=float(self.model.mask_cent),
+                        maskcent=float(b.model.mask_cent),
                         mesh=self.mesh)
         if suggest:
             self.suggest(body, h=self.size // 2, w=self.size // 2, k=9)
@@ -420,13 +471,15 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/stats":
             stats = {"requests": self.service.requests,
                      "latency": self.service.timer.summary()}
-            b = self.service.batcher
-            if b is not None:
-                stats["auto_batch"] = {
-                    "dispatches": b.dispatches,
-                    "requests": b.batched_requests,
-                    "avg_batch": round(b.batched_requests
-                                       / max(b.dispatches, 1), 2)}
+            for key, b in (("auto_batch", self.service.batcher),
+                           ("auto_batch_fast",
+                            self.service.batcher_fast)):
+                if b is not None:
+                    stats[key] = {
+                        "dispatches": b.dispatches,
+                        "requests": b.batched_requests,
+                        "avg_batch": round(b.batched_requests
+                                           / max(b.dispatches, 1), 2)}
             self._reply(200, json.dumps(stats).encode(),
                         "application/json")
         else:
@@ -445,7 +498,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if self.headers.get("X-Hints"):
                     hints = json.loads(self.headers["X-Hints"])
                 fullres = "fullres=0" not in query
-                png = self.service.colorize(body, hints, fullres=fullres)
+                png = self.service.colorize(body, hints, fullres=fullres,
+                                            fast="model=fast" in query)
                 self._reply(200, png, "image/png")
             elif path == "/colorize_batch":
                 out = self.service.colorize_batch(body)
@@ -499,6 +553,9 @@ def main(argv=None):
                    help="max dynamic batch for net-res /colorize "
                         "(0 = off); concurrent requests coalesce into "
                         "one device dispatch")
+    p.add_argument("--student-weights", type=str, default="",
+                   help="distilled student checkpoint served at "
+                        "?model=fast (width implicit in the checkpoint)")
     p.add_argument("--glob-weights", type=str, default="",
                    help="checkpoint for the global-hints graph "
                         "(/colorize_global; a separate param family from "
@@ -514,7 +571,8 @@ def main(argv=None):
                       weights=args.weights, size=args.load_size,
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,
                       dtype=args.dtype, auto_batch=args.auto_batch,
-                      glob_weights=args.glob_weights)
+                      glob_weights=args.glob_weights,
+                      student_weights=args.student_weights)
     if args.warmup:
         print("warming serving programs ...", flush=True)
         srv.RequestHandlerClass.service.warmup(suggest=True)

@@ -405,3 +405,100 @@ def test_colorize_global_histogram_transfer(server):
     # malformed npz -> 400
     c.request("POST", "/colorize_global", body=b"not-an-npz")
     assert c.getresponse().status == 400
+
+
+def test_colorize_batch_table_hints(server):
+    """npz table-hint form of /colorize_batch == dense form."""
+    from ideepcolor_tpu.ops.hints import MAX_HINTS, rasterize_hints
+    import jax.numpy as jnp
+    imgs = (RNG.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+    boxes = np.zeros((2, MAX_HINTS, 4), np.int32)
+    values = np.zeros((2, MAX_HINTS, 2), np.float32)
+    counts = np.asarray([0, 1], np.int32)
+    boxes[1, 0] = [20, 20, 24, 24]; values[1, 0] = [40.0, -30.0]
+
+    def post(**arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        c = _conn(server)
+        c.request("POST", "/colorize_batch", body=buf.getvalue())
+        r = c.getresponse()
+        assert r.status == 200, r.read()[:200]
+        with np.load(io.BytesIO(r.read())) as z:
+            return z["frames"]
+
+    table_frames = post(images=imgs, boxes=boxes, values=values,
+                        counts=counts)
+    ab0, m0 = rasterize_hints(jnp.asarray(boxes[0]),
+                              jnp.asarray(values[0]),
+                              jnp.asarray(counts[0]), size=64)
+    ab1, m1 = rasterize_hints(jnp.asarray(boxes[1]),
+                              jnp.asarray(values[1]),
+                              jnp.asarray(counts[1]), size=64)
+    dense_frames = post(images=imgs,
+                        hint_ab=np.stack([ab0, ab1]),
+                        hint_mask=np.stack([m0, m1]))
+    assert np.array_equal(table_frames, dense_frames)
+    # mismatched table shapes -> 400
+    buf = io.BytesIO()
+    np.savez(buf, images=imgs, boxes=boxes[:1], values=values[:1],
+             counts=counts[:1])
+    c = _conn(server)
+    c.request("POST", "/colorize_batch", body=buf.getvalue())
+    assert c.getresponse().status == 400
+
+
+def test_student_fast_tier(tmp_path):
+    """--student-weights serves ?model=fast on the distilled student;
+    both tiers work, produce different frames, and fast without a
+    student is a 400."""
+    from ideepcolor_tpu.models import siggraph
+    import jax
+    student = siggraph.init_params(jax.random.key(5), width=0.25)
+    sw = tmp_path / "student.npz"
+    np.savez(sw, **{k: np.asarray(v) for k, v in student.items()})
+    srv = serve.make_server(port=0, size=64, auto_batch=4,
+                            student_weights=str(sw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = srv.server_address
+        _img, body = _png_bytes(64, 64)
+
+        def post(q):
+            c = _conn(addr)
+            c.request("POST", f"/colorize?{q}", body=body)
+            r = c.getresponse()
+            return r.status, r.read()
+
+        s1, main_png = post("fullres=0")
+        s2, fast_png = post("fullres=0&model=fast")
+        assert s1 == 200 and s2 == 200
+        main_f = cv2.imdecode(np.frombuffer(main_png, np.uint8),
+                              cv2.IMREAD_COLOR)
+        fast_f = cv2.imdecode(np.frombuffer(fast_png, np.uint8),
+                              cv2.IMREAD_COLOR)
+        assert main_f.shape == fast_f.shape == (64, 64, 3)
+        assert not np.array_equal(main_f, fast_f)  # different nets
+        # full-res on the fast tier too
+        s3, _ = post("model=fast")
+        assert s3 == 200
+        # stats carry both tiers
+        c = _conn(addr)
+        c.request("GET", "/stats")
+        stats = json.loads(c.getresponse().read())
+        assert "auto_batch_fast" in stats
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # no student configured -> 400
+    srv2 = serve.make_server(port=0, size=64)
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        c = _conn(srv2.server_address)
+        c.request("POST", "/colorize?model=fast", body=body)
+        assert c.getresponse().status == 400
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
