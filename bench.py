@@ -340,12 +340,18 @@ def bench_http_serving(extras):
         svc = srv.RequestHandlerClass.service
         svc.warmup()
 
+        statuses = []
+
         def one_netres(i):
             cc = http.client.HTTPConnection(host, port, timeout=600)
             cc.request("POST", "/colorize?fullres=0", body=body)
-            cc.getresponse().read()
+            r = cc.getresponse()
+            r.read()
+            statuses.append(r.status)
 
+        d0, r0 = svc.batcher.dispatches, svc.batcher.batched_requests
         for trial in range(2):          # second burst is fully warm
+            statuses.clear()
             threads = [threading.Thread(target=one_netres, args=(i,))
                        for i in range(16)]
             t0 = time.perf_counter()
@@ -354,10 +360,16 @@ def bench_http_serving(extras):
             for t in threads:
                 t.join()
             burst = time.perf_counter() - t0
-        extras["http_autobatch16_req_per_sec"] = round(16 / burst, 1)
-        extras["http_autobatch_avg_batch"] = round(
-            svc.batcher.batched_requests / max(svc.batcher.dispatches, 1),
-            1)
+        if all(s == 200 for s in statuses) and len(statuses) == 16:
+            extras["http_autobatch16_req_per_sec"] = round(16 / burst, 1)
+            # delta over the bursts only (lifetime counters include
+            # warmup's single-request dispatch, diluting the metric)
+            extras["http_autobatch_avg_batch"] = round(
+                (svc.batcher.batched_requests - r0)
+                / max(svc.batcher.dispatches - d0, 1), 1)
+        else:
+            extras["http_autobatch_error"] = (
+                f"{sum(1 for s in statuses if s != 200)} non-200s")
     finally:
         srv.shutdown()
         srv.server_close()

@@ -52,14 +52,16 @@ def load_eval_images(root: str, size: int, limit: int = 0):
             else np.zeros((0, size, size, 3), np.float32))
 
 
-def iter_image_chunks(root: str, size: int, batch: int, limit: int = 0):
+def iter_image_chunks(root, size: int, batch: int, limit: int = 0):
     """Yield (n,size,size,3) float chunks, decoding lazily (n <= batch;
-    the tail chunk may be short)."""
+    the tail chunk may be short). ``root``: a directory, or an explicit
+    list of paths (so callers that already scanned can reuse it — one
+    scan feeds both the header count and the stream)."""
     import numpy as np
     from PIL import Image
 
     from ..train.data import list_images
-    paths = list_images(root)
+    paths = list_images(root) if isinstance(root, str) else list(root)
     if limit:
         paths = paths[:limit]
     chunk = []
@@ -113,8 +115,11 @@ def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
     import numpy as np
 
     from ..train.hints_sim import MAX_POINTS
+    # dedup, order-preserving: a repeated count would double its sums[]
+    # accumulation (and waste a dispatch per chunk)
+    counts = list(dict.fromkeys(int(k) for k in counts))
     for k in counts:
-        if not 0 <= int(k) <= MAX_POINTS:
+        if not 0 <= k <= MAX_POINTS:
             raise ValueError(f"hint count {k} outside [0, {MAX_POINTS}]")
 
     if isinstance(images, np.ndarray):
@@ -162,8 +167,7 @@ def main(argv=None):
         print("no images found")
         return 1
     counts = [int(c) for c in args.hints.split(",")]
-    chunks = iter_image_chunks(args.data_dir, args.size, args.batch,
-                               args.limit)
+    chunks = iter_image_chunks(paths, args.size, args.batch)
     curve = evaluate(params, chunks, counts, batch=args.batch,
                      seed=args.seed, maskcent=args.maskcent,
                      half=args.half)

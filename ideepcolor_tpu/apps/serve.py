@@ -93,7 +93,12 @@ class _AutoBatcher:
         if service.mesh is not None:
             self.align = (service.mesh.shape.get("data", 1)
                           * service.mesh.shape.get("dcn", 1))
-            self.max_batch = max(self.max_batch, self.align)
+            if self.align > self.max_batch:
+                # padding above the configured bound would silently break
+                # the user's memory budget — make the conflict loud
+                raise ValueError(
+                    f"--auto-batch {max_batch} is below the mesh batch "
+                    f"alignment {self.align}; raise it or shrink the mesh")
         self.wait_s = float(max_wait_ms) / 1e3
         self.q: "queue.Queue" = queue.Queue()
         self.dispatches = 0
@@ -116,6 +121,25 @@ class _AutoBatcher:
             raise slot["err"]
         return slot["frame"]
 
+    def cap_for(self, n: int) -> int:
+        """Padded dispatch size for an n-item batch: next power of two,
+        rounded up to the mesh batch alignment."""
+        cap = 1
+        while cap < n:
+            cap *= 2
+        if cap % self.align:
+            cap = -(-cap // self.align) * self.align
+        return cap
+
+    def bucket_caps(self) -> list[int]:
+        """Every dispatch size this batcher can produce (what warmup
+        must compile)."""
+        caps, c = set(), 1
+        while c <= self.max_batch:
+            caps.add(self.cap_for(c))
+            c *= 2
+        return sorted(caps)
+
     def _run(self):
         import queue as _q
         import time as _t
@@ -132,12 +156,7 @@ class _AutoBatcher:
                 except _q.Empty:
                     break
             n = len(items)
-            cap = 1
-            while cap < n:
-                cap *= 2
-            if cap % self.align:        # sharded batch must divide the mesh
-                cap = -(-cap // self.align) * self.align
-            pad = cap - n
+            pad = self.cap_for(n) - n
             try:
                 imgs = np.stack([it[0] for it in items]
                                 + [items[0][0]] * pad)
@@ -333,8 +352,12 @@ class ColorizeService:
             self.requests += 1
             if self._glob is None:
                 from .. import api
-                self._glob = api.ColorizeImageJaxCaffeGlobDist(Xd=self.size)
-                self._glob.prep_net(caffemodel_path=self._glob_weights)
+                g = api.ColorizeImageJaxCaffeGlobDist(Xd=self.size)
+                # assign only after a successful prep: a half-initialized
+                # model left behind by a bad --glob-weights path would
+                # turn every later request into an opaque 500
+                g.prep_net(caffemodel_path=self._glob_weights)
+                self._glob = g
             from ..models import global_stats
             hist = np.asarray(global_stats.extract(
                 ref_rgb.astype(np.float32) / 255.0)["glob_ab_313"])
@@ -370,7 +393,8 @@ class ColorizeService:
                 raise ValueError("pass either table or dense hints")
             n = len(images)
             if (boxes.ndim != 3 or boxes.shape[0] != n
-                    or values.shape[:2] != boxes.shape[:2]
+                    or boxes.shape[2] != 4
+                    or values.shape != (*boxes.shape[:2], 2)
                     or counts.shape != (n,)):
                 raise ValueError(
                     f"table shapes mismatch: {boxes.shape} "
@@ -414,11 +438,7 @@ class ColorizeService:
         for b in (self.batcher, self.batcher_fast):
             if b is None:
                 continue
-            caps, c = set(), 1
-            while c <= b.max_batch:
-                caps.add(-(-c // b.align) * b.align)
-                c *= 2
-            for cap in sorted(caps):
+            for cap in b.bucket_caps():
                 imgs = np.full((cap, self.size, self.size, 3), 128,
                                np.uint8)
                 with self.lock:
@@ -433,6 +453,13 @@ class ColorizeService:
                         mesh=self.mesh)
         if suggest:
             self.suggest(body, h=self.size // 2, w=self.size // 2, k=9)
+        # /colorize_global: its first request otherwise builds + compiles
+        # the glob graph while holding the model lock, stalling all
+        # endpoints — exactly what warmup exists to prevent
+        gbuf = io.BytesIO()
+        np.savez(gbuf, image=np.frombuffer(body, np.uint8),
+                 ref=np.frombuffer(body, np.uint8))
+        self.colorize_global(gbuf.getvalue())
 
     def health(self) -> dict:
         import jax
