@@ -502,3 +502,8 @@ def test_student_fast_tier(tmp_path):
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_auto_batch_below_mesh_alignment_is_loud():
+    with pytest.raises(ValueError, match="alignment"):
+        serve.make_server(port=0, size=64, auto_batch=2, use_mesh=True)
