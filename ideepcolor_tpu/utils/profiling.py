@@ -79,3 +79,54 @@ def annotate(name: str):
     """Named trace span for host-side stages inside a device_trace."""
     import jax
     return jax.profiler.TraceAnnotation(name)
+
+
+def device_op_summary(log_dir: str, reps: int = 1) -> dict:
+    """Parse a :func:`device_trace` capture into a per-HLO-op time
+    summary (the fusion-audit view; works over the tunneled transport —
+    the device lane is accurate even when host wall-clock spans are
+    distorted).
+
+    Returns {"total_ms_per_rep", "groups": {group: ms_per_rep},
+    "top_ops": [(name, ms_per_rep), ...]} where ``reps`` divides the
+    summed durations by the number of identical steps captured.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(glob.glob(
+        os.path.join(log_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        t = json.load(f)
+    events = t.get("traceEvents", [])
+    device_pids = {e["pid"] for e in events
+                   if e.get("ph") == "M" and e.get("name") == "process_name"
+                   and "device:" in str(e.get("args", {}).get("name", ""))}
+    agg: collections.Counter = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in device_pids
+                and not e["name"].startswith("jit_")):
+            agg[e["name"]] += e.get("dur", 0.0)
+    total = sum(agg.values())
+    groups: collections.Counter = collections.Counter()
+    for n, d in agg.items():
+        if "conv" in n or "custom-call" in n:
+            g = "convolution"
+        elif n.startswith(("copy", "slice", "dynamic")):
+            g = "copy/slice"
+        elif "fusion" in n:
+            g = "fusion"
+        else:
+            g = "other"
+        groups[g] += d
+    to_ms = 1.0 / (1000.0 * max(reps, 1))
+    return {
+        "total_ms_per_rep": total * to_ms,
+        "groups": {g: d * to_ms for g, d in groups.most_common()},
+        "top_ops": [(n, d * to_ms) for n, d in agg.most_common(20)],
+    }

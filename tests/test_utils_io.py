@@ -108,3 +108,30 @@ def test_device_trace_smoke(tmp_path):
     for root, _dirs, files in os.walk(tmp_path):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_device_op_summary_from_trace(tmp_path):
+    """device_trace -> device_op_summary roundtrip (structure check; the
+    device lane carries real HLO ops on TPU, may be host-only on the
+    CPU test backend)."""
+    import jax
+    import jax.numpy as jnp
+    from ideepcolor_tpu.utils import profiling
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    x = jnp.ones((64, 64))
+    float(f(x))
+    with profiling.device_trace(str(tmp_path)):
+        for _ in range(3):
+            r = f(x)
+        float(r)
+    s = profiling.device_op_summary(str(tmp_path), reps=3)
+    assert set(s) == {"total_ms_per_rep", "groups", "top_ops"}
+    assert s["total_ms_per_rep"] >= 0.0
+    assert isinstance(s["top_ops"], list)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        profiling.device_op_summary(str(tmp_path / "nope"))
