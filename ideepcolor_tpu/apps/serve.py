@@ -465,6 +465,7 @@ class ColorizeService:
         import jax
         return {"status": "ok", "device": str(jax.devices()[0]),
                 "size": self.size, "requests": self.requests,
+                "has_fast": self.model_fast is not None,
                 "mesh": None if self.mesh is None else
                 dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}
 
@@ -492,7 +493,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         path = self.path.split("?")[0]
-        if path == "/healthz":
+        if path in ("/", "/demo"):
+            # embedded browser UI over the same HTTP API (the headless
+            # deployment's equivalent of the reference's Qt app)
+            from .webui import PAGE
+            self._reply(200, PAGE.encode(), "text/html; charset=utf-8")
+        elif path == "/healthz":
             self._reply(200, json.dumps(self.service.health()).encode(),
                         "application/json")
         elif path == "/stats":

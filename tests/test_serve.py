@@ -507,3 +507,16 @@ def test_student_fast_tier(tmp_path):
 def test_auto_batch_below_mesh_alignment_is_loud():
     with pytest.raises(ValueError, match="alignment"):
         serve.make_server(port=0, size=64, auto_batch=2, use_mesh=True)
+
+
+def test_webui_page_served(server):
+    c = _conn(server)
+    c.request("GET", "/")
+    r = c.getresponse()
+    assert r.status == 200
+    assert "text/html" in r.getheader("Content-Type")
+    page = r.read().decode()
+    assert "ideepcolor-tpu" in page and "X-Hints" in page
+    c.request("GET", "/healthz")
+    h = json.loads(c.getresponse().read())
+    assert h["has_fast"] is False
