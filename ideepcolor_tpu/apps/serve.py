@@ -47,6 +47,17 @@ POST /colorize_global    (Content-Type: application/x-npz)
     ``image`` through the global-hints graph. ``?fullres=0`` for the
     net-res frame. Response: image/png.
 
+POST /session            (Content-Type: image bytes)
+    Open an interactive session: the image uploads ONCE and stays
+    device-resident (the GUI's model state as a service). Response:
+    {"id": ..., "size": Xd}. Sessions are LRU-capped (16); DELETE
+    /session?id=X closes one explicitly.
+
+POST /session/click?id=X[&fullres=1]   (Content-Type: application/json)
+    Body: the hint list (as in X-Hints). Re-colorizes the session's
+    image -- per-click upload is the ~1.8 KB hint table, the GUI's
+    fast path over HTTP. Response: image/png (net-res by default).
+
 POST /suggest?h=Y&w=X[&k=K]   (Content-Type: image bytes)
     Color recommendations at pixel (h, w) in Xd-grid coordinates — the
     GUI's suggestion palette as a service (distribution head + on-device
@@ -209,6 +220,7 @@ class ColorizeService:
         self._dtype = dtype
         self._dist = None            # built lazily on first /suggest
         self._glob = None            # built lazily on first /colorize_global
+        self._sessions: dict = {}    # interactive sessions, LRU order
         self._glob_weights = glob_weights   # the glob graph is a separate
         # param family (caffe global-hints net), so it takes its own
         # checkpoint; '' = seeded random init
@@ -320,6 +332,63 @@ class ColorizeService:
         colors = lab2rgb_transpose(lab[:1], lab[1:]).reshape(k, 3)
         return {"colors": colors.tolist(),
                 "conf": [float(c) for c in np.asarray(conf)]}
+
+    # -- interactive sessions (image device-resident across clicks) --
+    MAX_SESSIONS = 16
+
+    def session_open(self, img_bytes: bytes) -> dict:
+        import copy
+        import uuid
+        import cv2
+        raw = np.frombuffer(img_bytes, np.uint8)
+        bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("undecodable image body")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        with self.lock, self.timer.stage("session_open"):
+            self.requests += 1
+            # a shallow copy shares params AND the compiled click
+            # programs (a fresh prep_net would re-wrap them in new jits
+            # and recompile per session); load_image_array then replaces
+            # all per-image state
+            m = copy.copy(self.model)
+            m.load_image_array(rgb)
+            sid = uuid.uuid4().hex[:16]
+            self._sessions[sid] = m
+            while len(self._sessions) > self.MAX_SESSIONS:
+                self._sessions.pop(next(iter(self._sessions)))  # LRU
+        return {"id": sid, "size": self.size}
+
+    def session_click(self, sid: str, hints, fullres: bool = False
+                      ) -> bytes:
+        import cv2
+        from ..ops.hints import points_json_to_table, put_points_json
+        m = self._sessions.get(sid)
+        if m is None:
+            raise LookupError(f"unknown session {sid!r}")
+        table = points_json_to_table(hints, self.size)
+        with self.lock, self.timer.stage("session_click"):
+            self.requests += 1
+            self._sessions[sid] = self._sessions.pop(sid)   # LRU touch
+            if table is not None:
+                result = m.net_forward_table(*table)
+            else:                       # >MAX_HINTS: dense fallback
+                ab = np.zeros((2, self.size, self.size), np.float32)
+                mask = np.zeros((1, self.size, self.size), np.float32)
+                put_points_json(ab, mask, hints, self.size)
+                result = m.net_forward(ab, mask)
+            if isinstance(result, int):
+                raise RuntimeError("forward failed")
+            if fullres:
+                result = m.get_img_fullres()
+        ok, png = cv2.imencode(".png", result[:, :, ::-1])
+        if not ok:
+            raise RuntimeError("png encode failed")
+        return png.tobytes()
+
+    def session_close(self, sid: str) -> bool:
+        with self.lock:
+            return self._sessions.pop(sid, None) is not None
 
     # -- global histogram transfer --
     def colorize_global(self, body: bytes, fullres: bool = True) -> bytes:
@@ -518,6 +587,19 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._err(404, f"unknown path {self.path}")
 
+    def do_DELETE(self):
+        path, _, query = self.path.partition("?")
+        if path == "/session":
+            from urllib.parse import parse_qs
+            q = parse_qs(query)
+            sid = q.get("id", [""])[0]
+            if self.service.session_close(sid):
+                self._reply(200, b'{"closed": true}', "application/json")
+            else:
+                self._err(404, f"unknown session {sid!r}")
+        else:
+            self._err(404, f"unknown path {path}")
+
     def do_POST(self):
         path, _, query = self.path.partition("?")
         try:
@@ -540,6 +622,22 @@ class _Handler(BaseHTTPRequestHandler):
             elif path == "/colorize_global":
                 png = self.service.colorize_global(
                     body, fullres="fullres=0" not in query)
+                self._reply(200, png, "image/png")
+            elif path == "/session":
+                out = self.service.session_open(body)
+                self._reply(200, json.dumps(out).encode(),
+                            "application/json")
+            elif path == "/session/click":
+                from urllib.parse import parse_qs
+                q = parse_qs(query)
+                hints = json.loads(body) if body else []
+                try:
+                    png = self.service.session_click(
+                        q["id"][0], hints,
+                        fullres="fullres=1" in query)
+                except LookupError as e:
+                    self._err(404, str(e))
+                    return
                 self._reply(200, png, "image/png")
             elif path == "/suggest":
                 from urllib.parse import parse_qs

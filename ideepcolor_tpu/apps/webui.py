@@ -50,7 +50,7 @@ PAGE = r"""<!doctype html>
 <script>
 const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
 const out=document.getElementById('out'),status=document.getElementById('status');
-let imgBlob=null,hints=[];
+let imgBlob=null,hints=[],sessionId=null;
 function srgb2lin(v){v/=255;return v<=.04045?v/12.92:Math.pow((v+.055)/1.055,2.4)}
 function rgb2lab(r,g,b){
  const rl=srgb2lin(r),gl=srgb2lin(g),bl=srgb2lin(b);
@@ -81,24 +81,42 @@ function redraw(){
  ctx.putImageData(d,0,0);
  drawHintMarks();
 }
-document.getElementById('file').onchange=e=>{
+document.getElementById('file').onchange=async e=>{
  const f=e.target.files[0];if(!f)return;
- imgBlob=f;hints=[];
+ imgBlob=f;hints=[];sessionId=null;
  const img=new Image();
- img.onload=()=>{window._img=img;redraw();colorize();};
+ img.onload=()=>{window._img=img;redraw();};
  img.src=URL.createObjectURL(f);
+ // open an interactive session: the image uploads once and stays
+ // device-resident; each click then ships only the hint list
+ try{
+  const r=await fetch('/session',{method:'POST',body:f});
+  if(r.ok)sessionId=(await r.json()).id;
+ }catch(_){}
+ colorize();
 };
+function hintPayload(){
+ return JSON.stringify(hints.map(h=>({y:h.my,x:h.mx,ab:h.ab,
+   radius:+document.getElementById('radius').value})));
+}
 async function colorize(){
  if(!imgBlob)return;
  status.textContent='colorizing…';
- const q=document.getElementById('fast').checked?'&model=fast':'';
+ const fast=document.getElementById('fast').checked;
  const t0=performance.now();
- const r=await fetch('/colorize?fullres=0'+q,{method:'POST',body:imgBlob,
-   headers:{'X-Hints':JSON.stringify(hints.map(h=>({y:h.my,x:h.mx,ab:h.ab,
-     radius:+document.getElementById('radius').value})))}});
+ let r;
+ if(sessionId&&!fast){        // session fast path (~1.8 KB per click)
+  r=await fetch(`/session/click?id=${sessionId}`,
+    {method:'POST',body:hintPayload()});
+  if(r.status===404){sessionId=null;return colorize();}
+ }else{
+  r=await fetch('/colorize?fullres=0'+(fast?'&model=fast':''),
+    {method:'POST',body:imgBlob,headers:{'X-Hints':hintPayload()}});
+ }
  if(!r.ok){status.textContent='error: '+await r.text();return}
  out.src=URL.createObjectURL(await r.blob());
- status.textContent=`ok — ${hints.length} hint(s), ${(performance.now()-t0).toFixed(0)} ms`;
+ status.textContent=`ok — ${hints.length} hint(s), ${(performance.now()-t0).toFixed(0)} ms`
+   +(sessionId&&!fast?' (session)':'');
 }
 async function suggestAt(my,mx){
  const r=await fetch(`/suggest?h=${my}&w=${mx}&k=9`,

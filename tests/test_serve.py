@@ -520,3 +520,73 @@ def test_webui_page_served(server):
     c.request("GET", "/healthz")
     h = json.loads(c.getresponse().read())
     assert h["has_fast"] is False
+
+
+def test_interactive_sessions(server):
+    """Open -> click -> click -> close: image uploads once; clicks carry
+    only hints; sessions are isolated; unknown ids 404."""
+    img1, body1 = _png_bytes(64, 64)
+    img2, body2 = _png_bytes(64, 64)
+    c = _conn(server)
+
+    def open_sess(body):
+        c.request("POST", "/session", body=body)
+        r = c.getresponse()
+        data = r.read()
+        assert r.status == 200, data[:200]
+        return json.loads(data)["id"]
+
+    def click(sid, hints, fullres=False):
+        q = f"id={sid}" + ("&fullres=1" if fullres else "")
+        c.request("POST", f"/session/click?{q}",
+                  body=json.dumps(hints).encode())
+        r = c.getresponse()
+        data = r.read()
+        return r.status, data
+
+    s1, s2 = open_sess(body1), open_sess(body2)
+    st, auto1 = click(s1, [])
+    assert st == 200
+    st, hinted1 = click(s1, [{"y": 30, "x": 30, "ab": [40.0, -50.0],
+                              "radius": 2}])
+    assert st == 200 and hinted1 != auto1
+    # sessions are isolated: same hints, different image -> different out
+    st, hinted2 = click(s2, [{"y": 30, "x": 30, "ab": [40.0, -50.0],
+                              "radius": 2}])
+    assert st == 200 and hinted2 != hinted1
+    f1 = cv2.imdecode(np.frombuffer(hinted1, np.uint8), cv2.IMREAD_COLOR)
+    assert f1.shape == (64, 64, 3)
+    # fullres form returns the original resolution
+    st, full = click(s1, [], fullres=True)
+    ff = cv2.imdecode(np.frombuffer(full, np.uint8), cv2.IMREAD_COLOR)
+    assert st == 200 and ff.shape == img1.shape
+    # close + unknown -> 404 (read every body: keep-alive connection)
+    c.request("DELETE", f"/session?id={s1}")
+    r = c.getresponse()
+    assert (r.status, bool(r.read())) == (200, True)
+    st, _ = click(s1, [])
+    assert st == 404
+    c.request("DELETE", f"/session?id={s1}")
+    r = c.getresponse()
+    r.read()
+    assert r.status == 404
+
+
+def test_session_lru_eviction():
+    """Session count is capped; the least-recently-used one evicts."""
+    svc = serve.ColorizeService(size=64)
+    svc.MAX_SESSIONS = 2
+    rng = np.random.default_rng(21)
+
+    def png():
+        ok, buf = cv2.imencode(
+            ".png", (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+        return buf.tobytes()
+
+    a = svc.session_open(png())["id"]
+    b = svc.session_open(png())["id"]
+    svc.session_click(a, [])          # touch a -> b becomes LRU
+    c_ = svc.session_open(png())["id"]
+    assert set(svc._sessions) == {a, c_}   # b evicted, a kept
+    with pytest.raises(LookupError):
+        svc.session_click(b, [])
