@@ -303,11 +303,7 @@ class ColorizeService:
         table = points_json_to_table(hints, self.size)  # validates; None
         with self.lock, self.timer.stage("suggest"):    # on overflow
             self.requests += 1
-            if self._dist is None:
-                from .. import api
-                self._dist = api.ColorizeImageJaxDist(
-                    Xd=self.size, maskcent=self._maskcent)
-                self._dist.prep_net(path=self._weights, dtype=self._dtype)
+            self._ensure_dist()
             self._dist.load_image_array(rgb)
             if table is not None:
                 # fast path: 1.8 KB table upload, no regression readback
@@ -319,13 +315,26 @@ class ColorizeService:
                 self._dist.net_forward(ab, mask)
             centers, conf = self._dist.get_ab_reccs(h=h, w=w, K=k,
                                                     return_conf=True)
-        # pixel L via the native host converter (no device mirror readback)
+        return self._reccs_to_colors(self._dist, centers, conf, h, w, k)
+
+    def _ensure_dist(self):
+        if self._dist is None:
+            from .. import api
+            d = api.ColorizeImageJaxDist(Xd=self.size,
+                                         maskcent=self._maskcent)
+            # assign only after a successful prep (a bad weights path
+            # must not wedge the endpoint; cf. the glob model)
+            d.prep_net(path=self._weights, dtype=self._dtype)
+            self._dist = d
+
+    def _reccs_to_colors(self, d, centers, conf, h, w, k) -> dict:
+        # pixel L via the native host converter (no device readback);
+        # one fixed-shape device dispatch converts all K colors
+        from ..api.colorize import lab2rgb_transpose
         from ..ops import host
         L = float(host.rgb2lab(
-            self._dist.img_rgb[h, w][None, None].astype(np.float32)
+            d.img_rgb[h, w][None, None].astype(np.float32)
             / 255.0)[0, 0, 0])
-        # one fixed-shape device dispatch converts all K suggestion colors
-        from ..api.colorize import lab2rgb_transpose
         lab = np.concatenate(
             [np.full((k, 1), L, np.float32),
              np.asarray(centers, np.float32)], axis=1).T[:, :, None]
@@ -385,6 +394,36 @@ class ColorizeService:
         if not ok:
             raise RuntimeError("png encode failed")
         return png.tobytes()
+
+    def session_suggest(self, sid: str, hints, h: int, w: int,
+                        k: int = 9) -> dict:
+        """Color recommendations at (h, w) for a session's image —
+        no image re-upload: the session lazily keeps its own dist-model
+        copy (shared params/programs) with device-resident Lab planes."""
+        import copy
+        from ..ops.hints import points_json_to_table
+        m = self._sessions.get(sid)
+        if m is None:
+            raise LookupError(f"unknown session {sid!r}")
+        if not (0 <= h < self.size and 0 <= w < self.size):
+            raise ValueError(f"(h,w) must be in [0,{self.size}), "
+                             f"got ({h},{w})")
+        table = points_json_to_table(hints, self.size)
+        if table is None:
+            raise ValueError("too many hints for the suggestion table")
+        with self.lock, self.timer.stage("session_suggest"):
+            self.requests += 1
+            self._sessions[sid] = self._sessions.pop(sid)   # LRU touch
+            self._ensure_dist()
+            d = getattr(m, "_sess_dist", None)
+            if d is None:
+                d = copy.copy(self._dist)
+                d.load_image_array(m.img_rgb_fullres)
+                m._sess_dist = d
+            d.predict_dist_table(*table)
+            centers, conf = d.get_ab_reccs(h=h, w=w, K=k,
+                                           return_conf=True)
+        return self._reccs_to_colors(d, centers, conf, h, w, k)
 
     def session_close(self, sid: str) -> bool:
         with self.lock:
@@ -639,6 +678,19 @@ class _Handler(BaseHTTPRequestHandler):
                     self._err(404, str(e))
                     return
                 self._reply(200, png, "image/png")
+            elif path == "/session/suggest":
+                from urllib.parse import parse_qs
+                q = parse_qs(query)
+                hints = json.loads(body) if body else []
+                try:
+                    out = self.service.session_suggest(
+                        q["id"][0], hints, h=int(q["h"][0]),
+                        w=int(q["w"][0]), k=int(q.get("k", ["9"])[0]))
+                except LookupError as e:
+                    self._err(404, str(e))
+                    return
+                self._reply(200, json.dumps(out).encode(),
+                            "application/json")
             elif path == "/suggest":
                 from urllib.parse import parse_qs
                 q = parse_qs(query)

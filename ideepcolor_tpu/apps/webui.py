@@ -119,8 +119,11 @@ async function colorize(){
    +(sessionId&&!fast?' (session)':'');
 }
 async function suggestAt(my,mx){
- const r=await fetch(`/suggest?h=${my}&w=${mx}&k=9`,
-   {method:'POST',body:imgBlob});
+ const r=sessionId
+  ?await fetch(`/session/suggest?id=${sessionId}&h=${my}&w=${mx}&k=9`,
+    {method:'POST',body:hintPayload()})
+  :await fetch(`/suggest?h=${my}&w=${mx}&k=9`,
+    {method:'POST',body:imgBlob});
  if(!r.ok)return;
  const s=await r.json(),pal=document.getElementById('palette');
  pal.innerHTML='';

@@ -590,3 +590,30 @@ def test_session_lru_eviction():
     assert set(svc._sessions) == {a, c_}   # b evicted, a kept
     with pytest.raises(LookupError):
         svc.session_click(b, [])
+
+
+def test_session_suggest(server):
+    """Session-scoped suggestions: no image re-upload; matches the
+    stateless /suggest for the same image + hints."""
+    _img, body = _png_bytes(64, 64)
+    c = _conn(server)
+    c.request("POST", "/session", body=body)
+    sid = json.loads(c.getresponse().read())["id"]
+    hints = [{"y": 20, "x": 20, "ab": [30.0, -20.0], "radius": 2}]
+    c.request("POST", f"/session/suggest?id={sid}&h=32&w=32&k=5",
+              body=json.dumps(hints).encode())
+    r = c.getresponse()
+    got = json.loads(r.read())
+    assert r.status == 200
+    assert len(got["colors"]) == 5 and len(got["conf"]) == 5
+    # stateless oracle on the same inputs
+    c.request("POST", "/suggest?h=32&w=32&k=5", body=body,
+              headers={"X-Hints": json.dumps(hints)})
+    want = json.loads(c.getresponse().read())
+    assert got == want
+    # unknown session -> 404
+    c.request("POST", "/session/suggest?id=nope&h=1&w=1",
+              body=b"[]")
+    r = c.getresponse()
+    r.read()
+    assert r.status == 404
