@@ -334,6 +334,25 @@ def bench_http_serving(extras):
         dt = (time.perf_counter() - t0) / 3
         extras["http_batch16_imgs_per_sec"] = round(16 / dt, 1)
 
+        # interactive session: image device-resident, clicks ship only
+        # the hint list (the GUI's table-click path over HTTP)
+        c.request("POST", "/session", body=body)
+        sid = json.loads(c.getresponse().read())["id"]
+        hints = [{"y": 135, "x": 160, "ab": [23.0, -69.0], "radius": 3}]
+        c.request("POST", f"/session/click?id={sid}",
+                  body=json.dumps(hints).encode())
+        c.getresponse().read()      # warm
+        ts = []
+        for i in range(10):
+            hints[0]["y"] = 100 + i * 5
+            t0 = time.perf_counter()
+            c.request("POST", f"/session/click?id={sid}",
+                      body=json.dumps(hints).encode())
+            c.getresponse().read()
+            ts.append(time.perf_counter() - t0)
+        extras["http_session_click_p50_ms"] = round(
+            float(np.median(ts)) * 1000, 1)
+
         # dynamic batching: 16 concurrent net-res clients coalesce into
         # few device dispatches (bucket programs precompiled by warmup;
         # the persistent cache makes that cheap on reruns)

@@ -22,6 +22,11 @@ def parse_args(argv=None):
     ap.add_argument("--size", type=int, default=176,
                     help="training crop size (must be divisible by 8)")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-schedule", type=str, default="constant",
+                    choices=("constant", "cosine"),
+                    help="cosine: linear warmup then cosine decay to "
+                         "lr/100 over --steps")
+    ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--ckpt", type=str, default="./train_ckpt")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=20)
@@ -54,7 +59,9 @@ def main(argv=None):
     from ideepcolor_tpu.train.data import ImageFolderLoader
     from ideepcolor_tpu.utils.profiling import StageTimer
 
-    cfg = tstep.TrainConfig(lr=args.lr)
+    cfg = tstep.TrainConfig(lr=args.lr, schedule=args.lr_schedule,
+                            warmup_steps=args.warmup_steps,
+                            total_steps=args.steps)
     # fit the data axis to the batch size (batch must shard evenly)
     mp = args.model_parallel
     n_data = max(1, len(jax.devices()) // mp)

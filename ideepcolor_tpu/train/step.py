@@ -30,10 +30,29 @@ class TrainConfig:
     hint_p_keep: float = 1.0 / 8.0
     # rematerialize the trunk in the backward pass to trade FLOPs for HBM
     remat: bool = True
+    # learning-rate schedule: "constant" (reference recipe) or "cosine"
+    # (linear warmup to lr, cosine decay to lr/100 over total_steps)
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adam(cfg.lr, b1=0.9, b2=0.99)
+    if cfg.schedule == "cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.total_steps, end_value=cfg.lr / 100.0)
+    elif cfg.schedule == "constant":
+        if cfg.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        else:
+            lr = cfg.lr
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    return optax.adam(lr, b1=0.9, b2=0.99)
 
 
 def init_state(key: jax.Array, cfg: TrainConfig):
