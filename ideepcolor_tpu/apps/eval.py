@@ -176,12 +176,29 @@ def main(argv=None):
              " (RANDOM weights — harness smoke, not a quality claim)"))
     for k, v in curve.items():
         print(f"hints={k:3d}  psnr={v:6.2f} dB")
+    auc = curve_auc(curve)
+    if auc is not None:
+        print(f"AUC (mean PSNR over hint counts, trapezoid): "
+              f"{auc:.2f} dB")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"size": args.size, "n_images": len(paths),
-                       "weights": args.weights, "psnr_by_hints": curve}, f)
+                       "weights": args.weights, "psnr_by_hints": curve,
+                       "auc_db": auc}, f)
         print(f"wrote {args.out}")
     return 0
+
+
+def curve_auc(curve: dict) -> float | None:
+    """The paper's summary number: area under the PSNR-vs-hint-count
+    curve, normalized by the count range (i.e. count-averaged PSNR via
+    the trapezoid rule). None for a single-point curve."""
+    import numpy as np
+    ks = np.asarray(sorted(int(k) for k in curve), np.float64)
+    if len(ks) < 2:
+        return None
+    vs = np.asarray([curve[int(k)] for k in ks], np.float64)
+    return float(np.trapezoid(vs, ks) / (ks[-1] - ks[0]))
 
 
 if __name__ == "__main__":

@@ -118,3 +118,10 @@ def test_evaluate_streaming_chunks_match_array(tmp_path):
     chunks = eval_cli.iter_image_chunks(str(tmp_path), 32, batch=2)
     c_stream = eval_cli.evaluate(params, chunks, [0, 2], batch=2, seed=3)
     assert c_arr == c_stream
+
+
+def test_curve_auc():
+    from ideepcolor_tpu.apps.eval import curve_auc
+    assert curve_auc({0: 20.0, 10: 30.0}) == pytest.approx(25.0)
+    assert curve_auc({0: 20.0, 5: 25.0, 10: 30.0}) == pytest.approx(25.0)
+    assert curve_auc({3: 20.0}) is None
