@@ -345,10 +345,12 @@ class ColorizeService:
     # -- interactive sessions (image device-resident across clicks) --
     MAX_SESSIONS = 16
 
-    def session_open(self, img_bytes: bytes) -> dict:
+    def session_open(self, img_bytes: bytes, fast: bool = False) -> dict:
         import copy
         import uuid
         import cv2
+        if fast and self.model_fast is None:
+            raise ValueError("no fast tier: start with --student-weights")
         raw = np.frombuffer(img_bytes, np.uint8)
         bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
         if bgr is None:
@@ -360,7 +362,7 @@ class ColorizeService:
             # programs (a fresh prep_net would re-wrap them in new jits
             # and recompile per session); load_image_array then replaces
             # all per-image state
-            m = copy.copy(self.model)
+            m = copy.copy(self.model_fast if fast else self.model)
             m.load_image_array(rgb)
             sid = uuid.uuid4().hex[:16]
             self._sessions[sid] = m
@@ -574,6 +576,7 @@ class ColorizeService:
         return {"status": "ok", "device": str(jax.devices()[0]),
                 "size": self.size, "requests": self.requests,
                 "has_fast": self.model_fast is not None,
+                "sessions": len(self._sessions),
                 "mesh": None if self.mesh is None else
                 dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}
 
@@ -663,7 +666,8 @@ class _Handler(BaseHTTPRequestHandler):
                     body, fullres="fullres=0" not in query)
                 self._reply(200, png, "image/png")
             elif path == "/session":
-                out = self.service.session_open(body)
+                out = self.service.session_open(
+                    body, fast="model=fast" in query)
                 self._reply(200, json.dumps(out).encode(),
                             "application/json")
             elif path == "/session/click":

@@ -81,18 +81,26 @@ function redraw(){
  ctx.putImageData(d,0,0);
  drawHintMarks();
 }
+async function openSession(){
+ // an interactive session: the image uploads once and stays
+ // device-resident; each click then ships only the hint list.
+ // the session is tier-specific (fast sessions run the student)
+ sessionId=null;
+ if(!imgBlob)return;
+ const fast=document.getElementById('fast').checked;
+ try{
+  const r=await fetch('/session'+(fast?'?model=fast':''),
+    {method:'POST',body:imgBlob});
+  if(r.ok)sessionId=(await r.json()).id;
+ }catch(_){}
+}
 document.getElementById('file').onchange=async e=>{
  const f=e.target.files[0];if(!f)return;
- imgBlob=f;hints=[];sessionId=null;
+ imgBlob=f;hints=[];
  const img=new Image();
  img.onload=()=>{window._img=img;redraw();};
  img.src=URL.createObjectURL(f);
- // open an interactive session: the image uploads once and stays
- // device-resident; each click then ships only the hint list
- try{
-  const r=await fetch('/session',{method:'POST',body:f});
-  if(r.ok)sessionId=(await r.json()).id;
- }catch(_){}
+ await openSession();
  colorize();
 };
 function hintPayload(){
@@ -105,18 +113,20 @@ async function colorize(){
  const fast=document.getElementById('fast').checked;
  const t0=performance.now();
  let r;
- if(sessionId&&!fast){        // session fast path (~1.8 KB per click)
+ if(sessionId){               // session fast path (~1.8 KB per click)
   r=await fetch(`/session/click?id=${sessionId}`,
     {method:'POST',body:hintPayload()});
-  if(r.status===404){sessionId=null;return colorize();}
- }else{
+  if(r.status===404){await openSession();
+   if(sessionId)return colorize();}
+ }
+ if(!sessionId){
   r=await fetch('/colorize?fullres=0'+(fast?'&model=fast':''),
     {method:'POST',body:imgBlob,headers:{'X-Hints':hintPayload()}});
  }
  if(!r.ok){status.textContent='error: '+await r.text();return}
  out.src=URL.createObjectURL(await r.blob());
  status.textContent=`ok — ${hints.length} hint(s), ${(performance.now()-t0).toFixed(0)} ms`
-   +(sessionId&&!fast?' (session)':'');
+   +(sessionId?' (session)':'');
 }
 async function suggestAt(my,mx){
  const r=sessionId
@@ -151,7 +161,8 @@ cv.onclick=e=>{
 };
 document.getElementById('undo').onclick=()=>{hints.pop();redraw();colorize();};
 document.getElementById('reset').onclick=()=>{hints=[];redraw();colorize();};
-document.getElementById('fast').onchange=colorize;
+document.getElementById('fast').onchange=async()=>{
+ await openSession();colorize();};
 fetch('/healthz').then(r=>r.json()).then(h=>{
  if(!h.has_fast)document.getElementById('fast').parentElement.style.display='none';
 });

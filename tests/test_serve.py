@@ -617,3 +617,61 @@ def test_session_suggest(server):
     r = c.getresponse()
     r.read()
     assert r.status == 404
+
+
+def test_fast_tier_session(tmp_path):
+    from ideepcolor_tpu.models import siggraph
+    import jax
+    student = siggraph.init_params(jax.random.key(8), width=0.25)
+    sw = tmp_path / "stud.npz"
+    np.savez(sw, **{k: np.asarray(v) for k, v in student.items()})
+    svc = serve.ColorizeService(size=64, student_weights=str(sw))
+    rng = np.random.default_rng(31)
+    ok, buf = cv2.imencode(
+        ".png", (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    body = buf.tobytes()
+    s_main = svc.session_open(body)["id"]
+    s_fast = svc.session_open(body, fast=True)["id"]
+    h = [{"y": 30, "x": 30, "ab": [40.0, -50.0], "radius": 2}]
+    out_main = svc.session_click(s_main, h)
+    out_fast = svc.session_click(s_fast, h)
+    assert out_main != out_fast            # different nets
+    # no student configured -> loud error
+    svc2 = serve.ColorizeService(size=64)
+    with pytest.raises(ValueError, match="fast tier"):
+        svc2.session_open(body, fast=True)
+
+
+def test_concurrent_sessions_interleave_correctly(server):
+    """Clicks on two sessions from parallel threads: each response must
+    match the single-threaded result for that session (the model lock
+    serializes; per-session image state must not bleed)."""
+    import threading as _t
+    (_i1, b1), (_i2, b2) = _png_bytes(64, 64), _png_bytes(64, 64)
+    c = _conn(server)
+
+    def open_sess(b):
+        c.request("POST", "/session", body=b)
+        return json.loads(c.getresponse().read())["id"]
+
+    s1, s2 = open_sess(b1), open_sess(b2)
+    h = [{"y": 30, "x": 30, "ab": [40.0, -50.0], "radius": 2}]
+
+    def click(sid):
+        cc = _conn(server)
+        cc.request("POST", f"/session/click?id={sid}",
+                   body=json.dumps(h).encode())
+        r = cc.getresponse()
+        assert r.status == 200
+        return r.read()
+
+    want1, want2 = click(s1), click(s2)
+    got = {}
+    def worker(name, sid):
+        got[name] = [click(sid) for _ in range(3)]
+    ts = [_t.Thread(target=worker, args=("a", s1)),
+          _t.Thread(target=worker, args=("b", s2))]
+    for t in ts: t.start()
+    for t in ts: t.join()
+    assert all(x == want1 for x in got["a"])
+    assert all(x == want2 for x in got["b"])
