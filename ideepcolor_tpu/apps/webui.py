@@ -148,17 +148,43 @@ async function suggestAt(my,mx){
   pal.appendChild(b);
  }
 }
-cv.onclick=e=>{
- if(!imgBlob)return;
+let inflight=false,wantMore=false;
+async function colorizeThrottled(){
+ // drag handler: one request in flight, newest hint state wins
+ if(inflight){wantMore=true;return}
+ inflight=true;
+ do{wantMore=false;await colorize();}while(wantMore);
+ inflight=false;
+}
+function addHintAt(e){
  const rect=cv.getBoundingClientRect();
  const x=Math.round(e.clientX-rect.left),y=Math.round(e.clientY-rect.top);
  const hex=document.getElementById('color').value;
  const r=parseInt(hex.slice(1,3),16),g=parseInt(hex.slice(3,5),16),
        b=parseInt(hex.slice(5,7),16);
  hints.push({x,y,mx:x,my:y,ab:rgb2lab(r,g,b).slice(1),css:hex});
- redraw();colorize();
- if(document.getElementById('suggest').checked)suggestAt(y,x);
+ redraw();
+ return {x,y};
+}
+let dragging=false;
+cv.onmousedown=e=>{
+ if(!imgBlob)return;
+ dragging=true;
+ const p=addHintAt(e);
+ colorizeThrottled();
+ if(document.getElementById('suggest').checked)suggestAt(p.y,p.x);
 };
+cv.onmousemove=e=>{
+ if(!dragging||!imgBlob)return;
+ // dragging moves the LAST hint (the reference GUI's drag semantics)
+ const rect=cv.getBoundingClientRect();
+ const h=hints[hints.length-1];
+ if(!h)return;
+ h.x=h.mx=Math.round(e.clientX-rect.left);
+ h.y=h.my=Math.round(e.clientY-rect.top);
+ redraw();colorizeThrottled();
+};
+window.onmouseup=()=>{dragging=false;};
 document.getElementById('undo').onclick=()=>{hints.pop();redraw();colorize();};
 document.getElementById('reset').onclick=()=>{hints=[];redraw();colorize();};
 document.getElementById('fast').onchange=async()=>{
