@@ -315,7 +315,10 @@ class ColorizeService:
                 self._dist.net_forward(ab, mask)
             centers, conf = self._dist.get_ab_reccs(h=h, w=w, K=k,
                                                     return_conf=True)
-        return self._reccs_to_colors(self._dist, centers, conf, h, w, k)
+            # still under the lock: a concurrent /suggest would reload
+            # the shared dist model's image before we read its pixel L
+            return self._reccs_to_colors(self._dist, centers, conf,
+                                         h, w, k)
 
     def _ensure_dist(self):
         if self._dist is None:
@@ -420,12 +423,16 @@ class ColorizeService:
             d = getattr(m, "_sess_dist", None)
             if d is None:
                 d = copy.copy(self._dist)
-                d.load_image_array(m.img_rgb_fullres)
+                # net-res image only: the suggestion path never touches
+                # full-res state, and a full-res reload would re-upload
+                # megabytes per session on a transport that retains
+                # upload bytes in RSS
+                d.load_image_array(m.img_rgb)
                 m._sess_dist = d
             d.predict_dist_table(*table)
             centers, conf = d.get_ab_reccs(h=h, w=w, K=k,
                                            return_conf=True)
-        return self._reccs_to_colors(d, centers, conf, h, w, k)
+            return self._reccs_to_colors(d, centers, conf, h, w, k)
 
     def session_close(self, sid: str) -> bool:
         with self.lock:
@@ -563,6 +570,16 @@ class ColorizeService:
                         mesh=self.mesh)
         if suggest:
             self.suggest(body, h=self.size // 2, w=self.size // 2, k=9)
+        # the session click path (batch-1 table program the GET / UI
+        # uses by default)
+        sid = self.session_open(body)["id"]
+        self.session_click(sid, [{"y": self.size // 2,
+                                  "x": self.size // 2,
+                                  "ab": [20.0, -20.0], "radius": 2}])
+        if suggest:
+            self.session_suggest(sid, [], h=self.size // 2,
+                                 w=self.size // 2, k=9)
+        self.session_close(sid)
         # /colorize_global: its first request otherwise builds + compiles
         # the glob graph while holding the model lock, stalling all
         # endpoints — exactly what warmup exists to prevent
@@ -674,10 +691,12 @@ class _Handler(BaseHTTPRequestHandler):
                 from urllib.parse import parse_qs
                 q = parse_qs(query)
                 hints = json.loads(body) if body else []
+                sid = q["id"][0]     # missing param -> KeyError -> 400
                 try:
                     png = self.service.session_click(
-                        q["id"][0], hints,
-                        fullres="fullres=1" in query)
+                        sid, hints, fullres="fullres=1" in query)
+                except KeyError:
+                    raise            # service-internal bug, not a 404
                 except LookupError as e:
                     self._err(404, str(e))
                     return
@@ -686,10 +705,13 @@ class _Handler(BaseHTTPRequestHandler):
                 from urllib.parse import parse_qs
                 q = parse_qs(query)
                 hints = json.loads(body) if body else []
+                sid, h, w = q["id"][0], int(q["h"][0]), int(q["w"][0])
+                k = int(q.get("k", ["9"])[0])
                 try:
-                    out = self.service.session_suggest(
-                        q["id"][0], hints, h=int(q["h"][0]),
-                        w=int(q["w"][0]), k=int(q.get("k", ["9"])[0]))
+                    out = self.service.session_suggest(sid, hints, h=h,
+                                                       w=w, k=k)
+                except KeyError:
+                    raise
                 except LookupError as e:
                     self._err(404, str(e))
                     return

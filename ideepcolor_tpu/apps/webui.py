@@ -50,7 +50,19 @@ PAGE = r"""<!doctype html>
 <script>
 const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
 const out=document.getElementById('out'),status=document.getElementById('status');
-let imgBlob=null,hints=[],sessionId=null;
+let imgBlob=null,hints=[],sessionId=null,S=256;
+// the hint grid is the SERVER's net resolution (--load_size); the
+// canvas pixel grid tracks it, displayed at a fixed 256 CSS pixels
+fetch('/healthz').then(r=>r.json()).then(h=>{
+ S=h.size;cv.width=cv.height=S;out.width=out.height=S;
+ cv.style.width=cv.style.height=out.style.width=out.style.height='256px';
+ if(!h.has_fast)document.getElementById('fast').parentElement.style.display='none';
+});
+function canvasXY(e){
+ const rect=cv.getBoundingClientRect();
+ return [Math.min(S-1,Math.max(0,Math.round((e.clientX-rect.left)*S/rect.width))),
+         Math.min(S-1,Math.max(0,Math.round((e.clientY-rect.top)*S/rect.height)))];
+}
 function srgb2lin(v){v/=255;return v<=.04045?v/12.92:Math.pow((v+.055)/1.055,2.4)}
 function rgb2lab(r,g,b){
  const rl=srgb2lin(r),gl=srgb2lin(g),bl=srgb2lin(b);
@@ -71,9 +83,9 @@ function drawHintMarks(){
 }
 function redraw(){
  if(!window._img)return;
- ctx.drawImage(window._img,0,0,256,256);
+ ctx.drawImage(window._img,0,0,S,S);
  // show the input as grayscale (the model sees only L)
- const d=ctx.getImageData(0,0,256,256);
+ const d=ctx.getImageData(0,0,S,S);
  for(let i=0;i<d.data.length;i+=4){
   const l=.299*d.data[i]+.587*d.data[i+1]+.114*d.data[i+2];
   d.data[i]=d.data[i+1]=d.data[i+2]=l;
@@ -98,14 +110,17 @@ document.getElementById('file').onchange=async e=>{
  const f=e.target.files[0];if(!f)return;
  imgBlob=f;hints=[];
  const img=new Image();
- img.onload=()=>{window._img=img;redraw();};
- img.src=URL.createObjectURL(f);
+ const u=URL.createObjectURL(f);
+ img.onload=()=>{window._img=img;redraw();URL.revokeObjectURL(u);};
+ img.src=u;
  await openSession();
  colorize();
 };
 function hintPayload(){
+ // radius captured per hint at placement (a later change to the input
+ // must not retroactively resize earlier hints)
  return JSON.stringify(hints.map(h=>({y:h.my,x:h.mx,ab:h.ab,
-   radius:+document.getElementById('radius').value})));
+   radius:h.radius})));
 }
 async function colorize(){
  if(!imgBlob)return;
@@ -124,7 +139,9 @@ async function colorize(){
     {method:'POST',body:imgBlob,headers:{'X-Hints':hintPayload()}});
  }
  if(!r.ok){status.textContent='error: '+await r.text();return}
- out.src=URL.createObjectURL(await r.blob());
+ const old=out.src;                 // revoke: drags would leak a blob
+ out.src=URL.createObjectURL(await r.blob());   // per rendered frame
+ if(old.startsWith('blob:'))URL.revokeObjectURL(old);
  status.textContent=`ok — ${hints.length} hint(s), ${(performance.now()-t0).toFixed(0)} ms`
    +(sessionId?' (session)':'');
 }
@@ -133,7 +150,7 @@ async function suggestAt(my,mx){
   ?await fetch(`/session/suggest?id=${sessionId}&h=${my}&w=${mx}&k=9`,
     {method:'POST',body:hintPayload()})
   :await fetch(`/suggest?h=${my}&w=${mx}&k=9`,
-    {method:'POST',body:imgBlob});
+    {method:'POST',body:imgBlob,headers:{'X-Hints':hintPayload()}});
  if(!r.ok)return;
  const s=await r.json(),pal=document.getElementById('palette');
  pal.innerHTML='';
@@ -157,12 +174,12 @@ async function colorizeThrottled(){
  inflight=false;
 }
 function addHintAt(e){
- const rect=cv.getBoundingClientRect();
- const x=Math.round(e.clientX-rect.left),y=Math.round(e.clientY-rect.top);
+ const [x,y]=canvasXY(e);
  const hex=document.getElementById('color').value;
  const r=parseInt(hex.slice(1,3),16),g=parseInt(hex.slice(3,5),16),
        b=parseInt(hex.slice(5,7),16);
- hints.push({x,y,mx:x,my:y,ab:rgb2lab(r,g,b).slice(1),css:hex});
+ hints.push({x,y,mx:x,my:y,ab:rgb2lab(r,g,b).slice(1),css:hex,
+             radius:+document.getElementById('radius').value});
  redraw();
  return {x,y};
 }
@@ -177,11 +194,9 @@ cv.onmousedown=e=>{
 cv.onmousemove=e=>{
  if(!dragging||!imgBlob)return;
  // dragging moves the LAST hint (the reference GUI's drag semantics)
- const rect=cv.getBoundingClientRect();
  const h=hints[hints.length-1];
  if(!h)return;
- h.x=h.mx=Math.round(e.clientX-rect.left);
- h.y=h.my=Math.round(e.clientY-rect.top);
+ [h.x,h.y]=canvasXY(e);h.mx=h.x;h.my=h.y;
  redraw();colorizeThrottled();
 };
 window.onmouseup=()=>{dragging=false;};
@@ -189,8 +204,5 @@ document.getElementById('undo').onclick=()=>{hints.pop();redraw();colorize();};
 document.getElementById('reset').onclick=()=>{hints=[];redraw();colorize();};
 document.getElementById('fast').onchange=async()=>{
  await openSession();colorize();};
-fetch('/healthz').then(r=>r.json()).then(h=>{
- if(!h.has_fast)document.getElementById('fast').parentElement.style.display='none';
-});
 </script></body></html>
 """

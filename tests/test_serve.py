@@ -675,3 +675,29 @@ def test_concurrent_sessions_interleave_correctly(server):
     for t in ts: t.join()
     assert all(x == want1 for x in got["a"])
     assert all(x == want2 for x in got["b"])
+
+
+def test_session_missing_params_are_400_not_404(server):
+    c = _conn(server)
+    for p in ("/session/click", "/session/suggest?id=x&h=1",
+              "/session/suggest?h=1&w=1"):
+        c.request("POST", p, body=b"[]")
+        r = c.getresponse()
+        r.read()
+        assert r.status == 400, p
+
+
+def test_warmup_covers_session_programs():
+    svc = serve.ColorizeService(size=64)
+    svc.warmup(suggest=True)
+    # warmup opened + closed its own session and left none behind
+    assert len(svc._sessions) == 0
+    # the click-table program is compiled: a fresh session click must
+    # succeed immediately
+    rng = np.random.default_rng(41)
+    ok, buf = cv2.imencode(
+        ".png", (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    sid = svc.session_open(buf.tobytes())["id"]
+    out = svc.session_click(sid, [{"y": 10, "x": 10, "ab": [20.0, 5.0],
+                                   "radius": 1}])
+    assert isinstance(out, bytes) and len(out) > 100
