@@ -701,3 +701,39 @@ def test_warmup_covers_session_programs():
     out = svc.session_click(sid, [{"y": 10, "x": 10, "ab": [20.0, 5.0],
                                    "radius": 1}])
     assert isinstance(out, bytes) and len(out) > 100
+
+
+def test_malformed_request_barrage_never_wedges_server(server):
+    """Random garbage against every endpoint: each gets an orderly 4xx
+    and the server stays healthy afterwards."""
+    rng = np.random.default_rng(55)
+    paths = ["/colorize", "/colorize?fullres=0", "/colorize_batch",
+             "/colorize_global", "/suggest?h=5&w=5", "/suggest",
+             "/session", "/session/click?id=zzz", "/session/click",
+             "/session/suggest?id=zzz&h=1&w=1", "/nope"]
+    bodies = [b"", b"garbage", rng.bytes(64), b"[]", b"{\"y\":1}",
+              b"\x89PNG\r\n\x1a\n" + rng.bytes(32)]
+    c = _conn(server)
+    for i in range(50):
+        p = paths[i % len(paths)]
+        b = bodies[i % len(bodies)]
+        hdrs = {}
+        if i % 4 == 0:
+            hdrs["X-Hints"] = "not json" if i % 8 else '{"y": 1}'
+        try:
+            c.request("POST", p, body=b, headers=hdrs)
+            r = c.getresponse()
+            r.read()
+            assert 200 <= r.status < 600
+        except (http.client.HTTPException, ConnectionError):
+            c = _conn(server)      # server may close a bad connection
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["status"] == "ok"
+    # and it still serves real work
+    _img, body = _png_bytes(64, 64)
+    c.request("POST", "/colorize?fullres=0", body=body)
+    r = c.getresponse()
+    assert r.status == 200 and len(r.read()) > 100
