@@ -76,8 +76,14 @@ def iter_image_chunks(root, size: int, batch: int, limit: int = 0):
         yield np.stack(chunk)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def make_eval_step(maskcent: float, half: int):
-    """(params, rgb01 NHWC, key, count) -> per-image PSNR vector."""
+    """(params, rgb01 NHWC, key, count) -> per-image PSNR vector.
+    Cached per (maskcent, half): a fresh closure per evaluate() call
+    would retrace (and recompile on a cache miss) every invocation."""
     import jax
     import jax.numpy as jnp
 

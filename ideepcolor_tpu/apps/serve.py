@@ -96,20 +96,31 @@ class _AutoBatcher:
         self.model = model          # which net this batcher dispatches
         # (the --student-weights fast tier gets its own batcher; mixed
         # models cannot share one device dispatch)
-        # round DOWN to a power of two so padded dispatches never exceed
-        # the configured bound (the user may have sized it to memory)
-        self.max_batch = 1 << (max(int(max_batch), 1).bit_length() - 1)
         # batch shapes must divide the mesh's batch axes when sharded
         self.align = 1
         if service.mesh is not None:
             self.align = (service.mesh.shape.get("data", 1)
                           * service.mesh.shape.get("dcn", 1))
-            if self.align > self.max_batch:
+            if self.align > max(int(max_batch), 1):
                 # padding above the configured bound would silently break
                 # the user's memory budget — make the conflict loud
                 raise ValueError(
                     f"--auto-batch {max_batch} is below the mesh batch "
                     f"alignment {self.align}; raise it or shrink the mesh")
+        # dispatch sizes come from a fixed bucket ladder: align-multiples
+        # doubling up to max_batch rounded DOWN to the alignment (never
+        # above the configured bound, bounded program count, mesh-valid
+        # shapes even for non-power-of-two device layouts)
+        self.max_batch = max(int(max_batch), 1)
+        if self.align == 1:
+            self.max_batch = 1 << (self.max_batch.bit_length() - 1)
+        else:
+            self.max_batch = (self.max_batch // self.align) * self.align
+        b, self._buckets = self.align, []
+        while b < self.max_batch:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(self.max_batch)
         self.wait_s = float(max_wait_ms) / 1e3
         self.q: "queue.Queue" = queue.Queue()
         self.dispatches = 0
@@ -133,23 +144,15 @@ class _AutoBatcher:
         return slot["frame"]
 
     def cap_for(self, n: int) -> int:
-        """Padded dispatch size for an n-item batch: next power of two,
-        rounded up to the mesh batch alignment."""
-        cap = 1
-        while cap < n:
-            cap *= 2
-        if cap % self.align:
-            cap = -(-cap // self.align) * self.align
-        return cap
+        """Padded dispatch size for an n-item batch: the smallest ladder
+        bucket that fits (n <= max_batch always holds — the collector
+        stops there)."""
+        return next(b for b in self._buckets if b >= n)
 
     def bucket_caps(self) -> list[int]:
         """Every dispatch size this batcher can produce (what warmup
         must compile)."""
-        caps, c = set(), 1
-        while c <= self.max_batch:
-            caps.add(self.cap_for(c))
-            c *= 2
-        return sorted(caps)
+        return list(self._buckets)
 
     def _run(self):
         import queue as _q
@@ -377,13 +380,15 @@ class ColorizeService:
                       ) -> bytes:
         import cv2
         from ..ops.hints import points_json_to_table, put_points_json
-        m = self._sessions.get(sid)
-        if m is None:
-            raise LookupError(f"unknown session {sid!r}")
         table = points_json_to_table(hints, self.size)
         with self.lock, self.timer.stage("session_click"):
             self.requests += 1
-            self._sessions[sid] = self._sessions.pop(sid)   # LRU touch
+            # lookup under the lock: a concurrent DELETE or LRU eviction
+            # between a pre-lock check and here must be a clean 404
+            m = self._sessions.pop(sid, None)
+            if m is None:
+                raise LookupError(f"unknown session {sid!r}")
+            self._sessions[sid] = m                         # LRU touch
             if table is not None:
                 result = m.net_forward_table(*table)
             else:                       # >MAX_HINTS: dense fallback
@@ -407,9 +412,6 @@ class ColorizeService:
         copy (shared params/programs) with device-resident Lab planes."""
         import copy
         from ..ops.hints import points_json_to_table
-        m = self._sessions.get(sid)
-        if m is None:
-            raise LookupError(f"unknown session {sid!r}")
         if not (0 <= h < self.size and 0 <= w < self.size):
             raise ValueError(f"(h,w) must be in [0,{self.size}), "
                              f"got ({h},{w})")
@@ -418,7 +420,10 @@ class ColorizeService:
             raise ValueError("too many hints for the suggestion table")
         with self.lock, self.timer.stage("session_suggest"):
             self.requests += 1
-            self._sessions[sid] = self._sessions.pop(sid)   # LRU touch
+            m = self._sessions.pop(sid, None)   # lookup under the lock
+            if m is None:
+                raise LookupError(f"unknown session {sid!r}")
+            self._sessions[sid] = m                         # LRU touch
             self._ensure_dist()
             d = getattr(m, "_sess_dist", None)
             if d is None:
@@ -664,6 +669,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             if n > MAX_BODY_BYTES:
+                # the unread body would corrupt a keep-alive connection
+                # (the next "request line" parses mid-upload) — close it
+                self.close_connection = True
                 self._err(413, f"body {n} bytes exceeds {MAX_BODY_BYTES}")
                 return
             body = self.rfile.read(n)

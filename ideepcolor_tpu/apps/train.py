@@ -75,7 +75,10 @@ def main(argv=None):
         from ideepcolor_tpu.api.colorize import _load_checkpoint
         from ideepcolor_tpu.models import siggraph
         from ideepcolor_tpu.train import distill
-        dcfg = distill.DistillConfig(width=args.width, lr=args.lr)
+        dcfg = distill.DistillConfig(width=args.width, lr=args.lr,
+                                     schedule=args.lr_schedule,
+                                     warmup_steps=args.warmup_steps,
+                                     total_steps=args.steps)
         sd = (None if args.distill_from == "random"
               else _load_checkpoint(args.distill_from))
         teacher = (siggraph.init_params(jax.random.key(0)) if sd is None

@@ -114,12 +114,12 @@ document.getElementById('file').onchange=async e=>{
  img.onload=()=>{window._img=img;redraw();URL.revokeObjectURL(u);};
  img.src=u;
  await openSession();
- colorize();
+ colorizeThrottled();
 };
 function hintPayload(){
  // radius captured per hint at placement (a later change to the input
  // must not retroactively resize earlier hints)
- return JSON.stringify(hints.map(h=>({y:h.my,x:h.mx,ab:h.ab,
+ return JSON.stringify(hints.map(h=>({y:h.y,x:h.x,ab:h.ab,
    radius:h.radius})));
 }
 async function colorize(){
@@ -145,11 +145,11 @@ async function colorize(){
  status.textContent=`ok — ${hints.length} hint(s), ${(performance.now()-t0).toFixed(0)} ms`
    +(sessionId?' (session)':'');
 }
-async function suggestAt(my,mx){
+async function suggestAt(y,x){
  const r=sessionId
-  ?await fetch(`/session/suggest?id=${sessionId}&h=${my}&w=${mx}&k=9`,
+  ?await fetch(`/session/suggest?id=${sessionId}&h=${y}&w=${x}&k=9`,
     {method:'POST',body:hintPayload()})
-  :await fetch(`/suggest?h=${my}&w=${mx}&k=9`,
+  :await fetch(`/suggest?h=${y}&w=${x}&k=9`,
     {method:'POST',body:imgBlob,headers:{'X-Hints':hintPayload()}});
  if(!r.ok)return;
  const s=await r.json(),pal=document.getElementById('palette');
@@ -160,25 +160,26 @@ async function suggestAt(my,mx){
   b.onclick=()=>{
    const hx=hints[hints.length-1];
    if(hx){hx.ab=rgb2lab(c[0],c[1],c[2]).slice(1);
-          hx.css=`rgb(${c[0]},${c[1]},${c[2]})`;redraw();colorize();}
+          hx.css=`rgb(${c[0]},${c[1]},${c[2]})`;redraw();colorizeThrottled();}
   };
   pal.appendChild(b);
  }
 }
 let inflight=false,wantMore=false;
 async function colorizeThrottled(){
- // drag handler: one request in flight, newest hint state wins
+ // one request in flight, newest hint state wins; the finally clause
+ // releases the latch even when a fetch rejects (server restart)
  if(inflight){wantMore=true;return}
  inflight=true;
- do{wantMore=false;await colorize();}while(wantMore);
- inflight=false;
+ try{do{wantMore=false;await colorize();}while(wantMore);}
+ finally{inflight=false;}
 }
 function addHintAt(e){
  const [x,y]=canvasXY(e);
  const hex=document.getElementById('color').value;
  const r=parseInt(hex.slice(1,3),16),g=parseInt(hex.slice(3,5),16),
        b=parseInt(hex.slice(5,7),16);
- hints.push({x,y,mx:x,my:y,ab:rgb2lab(r,g,b).slice(1),css:hex,
+ hints.push({x,y,ab:rgb2lab(r,g,b).slice(1),css:hex,
              radius:+document.getElementById('radius').value});
  redraw();
  return {x,y};
@@ -196,13 +197,13 @@ cv.onmousemove=e=>{
  // dragging moves the LAST hint (the reference GUI's drag semantics)
  const h=hints[hints.length-1];
  if(!h)return;
- [h.x,h.y]=canvasXY(e);h.mx=h.x;h.my=h.y;
+ [h.x,h.y]=canvasXY(e);
  redraw();colorizeThrottled();
 };
 window.onmouseup=()=>{dragging=false;};
-document.getElementById('undo').onclick=()=>{hints.pop();redraw();colorize();};
-document.getElementById('reset').onclick=()=>{hints=[];redraw();colorize();};
+document.getElementById('undo').onclick=()=>{hints.pop();redraw();colorizeThrottled();};
+document.getElementById('reset').onclick=()=>{hints=[];redraw();colorizeThrottled();};
 document.getElementById('fast').onchange=async()=>{
- await openSession();colorize();};
+ await openSession();colorizeThrottled();};
 </script></body></html>
 """

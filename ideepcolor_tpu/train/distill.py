@@ -38,10 +38,22 @@ class DistillConfig:
     maskcent: float = 0.0
     hint_p_keep: float = 1.0 / 8.0
     remat: bool = False         # students are small; off by default
+    # LR schedule — same semantics as train.step.TrainConfig
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
+
+
+def _as_train_cfg(cfg: DistillConfig):
+    from . import step as tstep
+    return tstep.TrainConfig(lr=cfg.lr, schedule=cfg.schedule,
+                             warmup_steps=cfg.warmup_steps,
+                             total_steps=cfg.total_steps)
 
 
 def make_optimizer(cfg: DistillConfig):
-    return optax.adam(cfg.lr, b1=0.9, b2=0.99)
+    from . import step as tstep
+    return tstep.make_optimizer(_as_train_cfg(cfg))
 
 
 def init_student(key: jax.Array, cfg: DistillConfig):
@@ -107,9 +119,9 @@ def make_distill_step(cfg: DistillConfig, jit: bool = True):
 
 def load_student_state(path: str, cfg: DistillConfig):
     """Restore a student state saved by train.step.save_train_state (the
-    optimizer tree is structurally identical: adam(lr, 0.9, 0.99))."""
+    optimizer tree matches the same schedule config)."""
     from . import step as tstep
-    return tstep.load_train_state(path, tstep.TrainConfig(lr=cfg.lr))
+    return tstep.load_train_state(path, _as_train_cfg(cfg))
 
 
 def make_sharded_distill_step(cfg: DistillConfig, mesh):
