@@ -168,7 +168,7 @@ def make_table_click_program(apply_fn, size: int):
     """Fused click program fed by the fixed-slot hint table.
 
     Uploads per click shrink from ~768 KB of dense (ab, mask) planes to the
-    (64, 7) hint table (~1.8 KB); rasterization happens inside the same XLA
+    (256, 7) hint table (~7 KB); rasterization happens inside the same XLA
     program as the forward (ops.hints.rasterize_hints). apply_fn receives
     (params, l_mc (H,W,1), ab (1,H,W,2), mask (1,H,W,1)) -> (N,H,W,2) ab
     prediction. All image state travels as arguments (closed-over device

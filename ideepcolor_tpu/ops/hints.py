@@ -9,8 +9,11 @@ Design: the edit list is carried as fixed-capacity arrays (MAX_HINTS slots +
 a live count), so the rasterizer has static shapes and jits once. Each pixel
 tests membership in every hint box; later hints overwrite earlier ones by a
 reversed arg-max (matching the sequential overwrite order of cv2.rectangle).
-At 256^2 x 64 slots this is a tiny fused VPU program — no per-edit host loop,
-no host->device transfer beyond the (64, 7) hint table per click.
+At 256^2 x 256 slots this is a tiny fused VPU program — no per-edit host
+loop, no host->device transfer beyond the (256, 7) hint table per click.
+Capacity is sized so marathon GUI sessions (hundreds of edits) never fall
+back to the dense-plane path, which leaks host RSS over the axon tunnel
+transport (see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_HINTS = 64
+MAX_HINTS = 256
 
 
 @partial(jax.jit, static_argnames=("size",))

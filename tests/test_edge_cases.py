@@ -103,12 +103,12 @@ def test_streaming_interleaved_hint_updates():
 
 
 def test_max_hints_overflow_truncates_cleanly():
-    """More edits than MAX_HINTS: the table keeps the first 64 slots."""
+    """More edits than MAX_HINTS: the table keeps the first MAX_HINTS."""
     from ideepcolor_tpu.ui.control import UIControl
     c = UIControl(win_size=512, load_size=64)
     c.setImageSize((512, 512))
-    for i in range(80):
-        c.addPoint((6 * (i % 64) + 3, 6 * (i // 8) + 3), (i % 255, 0, 0),
+    for i in range(hints.MAX_HINTS + 16):
+        c.addPoint((6 * (i % 64) + 3, 6 * (i // 64) + 3), (i % 255, 0, 0),
                    (i % 255, 0, 0), 1.0)
     boxes, vals, n = c.hint_table()
     assert n == hints.MAX_HINTS

@@ -50,20 +50,65 @@ def _session_outputs():
     return out
 
 
-def test_goldens_match():
-    path = os.path.join(GOLDEN_DIR, "session_goldens.npz")
+def _session_outputs_256():
+    """Production-shape (Xd=256) goldens: fusion/tiling decisions differ
+    from the 64-px programs, so numeric drift that only manifests at the
+    real serving resolution is pinned here (caffe-dist + siggraph-dist,
+    the two heads the 64-px set doesn't cover). Dist maps are pinned via
+    compact probes (a pixel pdf + per-bin means), not the 80 MB tensors."""
+    from ideepcolor_tpu import api
+    from ideepcolor_tpu.ops.hints import put_point
+
+    out = {}
+    ab = np.zeros((2, 256, 256))
+    mask = np.zeros((1, 256, 256))
+    put_point(ab, mask, [130, 160], 3, [23, -69])
+    put_point(ab, mask, [100, 160], 3, [-30, 40])
+
+    d = api.ColorizeImageJaxCaffeDist(Xd=256)
+    d.prep_net(None)
+    d.load_image(IMG)
+    out["caffe_dist_hints"] = d.net_forward(ab.copy(), mask.copy())
+    out["caffe_dist_pdf_probe"] = (
+        np.asarray(d.dist_ab)[:, 130, 160] * 1e4)
+    out["caffe_dist_binmean_probe"] = (
+        np.asarray(d.dist_ab).mean(axis=(1, 2)) * 1e4)
+    out["caffe_dist_fullres_crop"] = d.get_img_fullres()[200:240, 200:240]
+
+    s = api.ColorizeImageJaxDist(Xd=256)
+    s.prep_net(path='')
+    s.load_image(IMG)
+    reg = s.net_forward(ab.copy(), mask.copy())
+    out["siggraph_dist_reg_crop"] = np.asarray(reg)[:, 120:140, 150:170]
+    lo = np.asarray(s._dev_dist)                       # (64, 64, 529)
+    out["siggraph_dist_pdf_probe"] = lo[32, 40, :] * 1e4
+    out["siggraph_dist_binmean_probe"] = lo.mean(axis=(0, 1)) * 1e4
+    return out
+
+
+def _assert_golden(path, make_outputs):
     if not os.path.exists(path):
         pytest.skip("goldens not generated yet")
     want = np.load(path)
-    got = _session_outputs()
+    got = make_outputs()
     for k in want.files:
-        g, w = got[k].astype(int), want[k].astype(int)
+        g, w = got[k].astype(np.float64), want[k].astype(np.float64)
         assert g.shape == w.shape, k
         # identical math modulo last-bit float variation across BLAS/LLVM
-        # versions: allow <=1 uint8 step on <1% of pixels
+        # versions: allow <=1 quantization step on <1% of elements
         diff = np.abs(g - w)
         assert diff.max() <= 1, (k, diff.max())
-        assert (diff > 0).mean() < 0.01, (k, (diff > 0).mean())
+        assert (diff > 0.5).mean() < 0.01, (k, (diff > 0.5).mean())
+
+
+def test_goldens_match():
+    _assert_golden(os.path.join(GOLDEN_DIR, "session_goldens.npz"),
+                   _session_outputs)
+
+
+def test_goldens_match_256():
+    _assert_golden(os.path.join(GOLDEN_DIR, "session_goldens_256.npz"),
+                   _session_outputs_256)
 
 
 if __name__ == "__main__":
@@ -77,4 +122,7 @@ if __name__ == "__main__":
         np.savez_compressed(
             os.path.join(GOLDEN_DIR, "session_goldens.npz"),
             **_session_outputs())
-        print("goldens regenerated")
+        np.savez_compressed(
+            os.path.join(GOLDEN_DIR, "session_goldens_256.npz"),
+            **_session_outputs_256())
+        print("goldens regenerated (64 + 256)")

@@ -201,10 +201,11 @@ def test_more_edits_than_table_slots_fall_back_to_dense(gui):
     from ideepcolor_tpu.ops.hints import MAX_HINTS
     draw = gui[1]
     draw.uiControl.reset()
-    rng = np.random.default_rng(9)
+    # deterministic >=6 px spacing so addPoint's is_same dedup never merges
+    per_row = max((draw.win_w - 20) // 6, 1)
     for i in range(MAX_HINTS + 6):
-        x = int(rng.uniform(10, draw.win_w - 10))
-        y = int(rng.uniform(10, draw.win_h - 10))
+        x = 10 + 6 * (i % per_row)
+        y = 10 + 6 * (i // per_row)
         draw.uiControl.addPoint((x, y), (200, 30, 30), (200, 30, 30), 2)
     assert len(draw.uiControl.userEdits) > MAX_HINTS
     draw.compute_result()
