@@ -281,3 +281,59 @@ def test_palette_pick_moves_gamut_cursor(gui):
     win.customPalette.set_colors(np.array([[0.8, 0.2, 0.2]]))
     win.customPalette.mousePressEvent(fq._Event(8, 8, fq.Qt.LeftButton))
     assert win.gamutWidget.pos is not None        # cursor moved
+
+
+def test_session_dump_replays_to_identical_frame(tmp_path):
+    """Closes the reference's session-dump contract loop (ref
+    ui/gui_draw.py:222-244): a session saved through the REAL GUI logic
+    path replays headlessly (utils.session.replay_session) through a
+    fresh ColorizeImageJaxCaffe to the same net-res frame, and the dumped
+    planes round-trip exactly."""
+    import shutil
+    import _fake_qt as fq
+    _fake_qt.install()
+    from ideepcolor_tpu import api
+    from ideepcolor_tpu.ui import qt_gui
+    from ideepcolor_tpu.utils import session
+
+    img = tmp_path / "mortar_pestle.jpg"
+    shutil.copy(IMG, img)
+
+    model = api.ColorizeImageJaxCaffe(Xd=64)
+    model.prep_net(None)                        # seeded random init (key 0)
+    draw = qt_gui.GUIDraw(model, dist_model=None, load_size=64,
+                          win_size=256)
+    draw.init_result(str(img))
+    draw.user_color = (200, 40, 40)
+    draw.mousePressEvent(fq._Event(100, 120, fq.Qt.LeftButton))
+    draw.user_color = (40, 180, 90)
+    draw.mousePressEvent(fq._Event(180, 60, fq.Qt.LeftButton))
+    draw.save_result()
+
+    dumps = [d for d in tmp_path.iterdir()
+             if d.is_dir() and d.name.startswith("mortar_pestle_")]
+    assert len(dumps) == 1
+    dump = str(dumps[0])
+
+    # dump contents follow the reference format
+    s = session.load_session(dump)
+    assert s["im_l"].shape == (1, 64, 64)
+    assert s["im_ab"].shape == (2, 64, 64)
+    assert s["im_mask"].shape == (1, 64, 64)
+    assert np.array_equal(s["im_ab"], draw.im_ab0)
+    assert np.array_equal(s["im_mask"], draw.im_mask0)
+    assert s["im_mask"].sum() > 0
+    for png in ("ours.png", "ours_fullres.png", "input_fullres.png",
+                "input.png", "input_ab.png", "input_mask.png"):
+        assert (dumps[0] / png).exists(), png
+
+    # replay through a FRESH model (same seeded weights)
+    fresh = api.ColorizeImageJaxCaffe(Xd=64)
+    fresh.prep_net(None)
+    fresh.load_image(str(img))
+    replayed = session.replay_session(dump, fresh)
+    original = np.asarray(draw.model.get_img_forward())
+    assert replayed.shape == original.shape
+    # table-path click program and dense replay program are the same math
+    # in different XLA programs: byte-identical frames expected
+    assert np.array_equal(replayed, original)
