@@ -744,13 +744,30 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(500, str(e))
 
 
+class _QuietDisconnectServer(ThreadingHTTPServer):
+    """Client disconnects (reset/broken pipe mid-response) are routine
+    under concurrent load; log ONE line instead of a traceback so ops
+    output (and bench tails) stay parseable. Real handler bugs still get
+    the full traceback."""
+
+    def handle_error(self, request, client_address):
+        import sys
+        et, ev = sys.exc_info()[:2]
+        if et is not None and issubclass(
+                et, (ConnectionResetError, BrokenPipeError, TimeoutError)):
+            print(f"# serve: client {client_address} disconnected "
+                  f"({et.__name__})", file=sys.stderr)
+        else:
+            super().handle_error(request, client_address)
+
+
 def make_server(port: int = 0, host: str = "127.0.0.1",
                 **service_kw) -> ThreadingHTTPServer:
     """Build a ready-to-serve ThreadingHTTPServer (port 0 = ephemeral;
     address in ``server.server_address``). Caller runs serve_forever()."""
     service = ColorizeService(**service_kw)
     handler = type("BoundHandler", (_Handler,), {"service": service})
-    return ThreadingHTTPServer((host, port), handler)
+    return _QuietDisconnectServer((host, port), handler)
 
 
 def main(argv=None):

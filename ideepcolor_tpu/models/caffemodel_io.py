@@ -208,3 +208,67 @@ def encode_caffemodel(layers: dict[str, list[np.ndarray]]) -> bytes:
             layer += _len_field(7, encode_blob(b))
         out += _len_field(100, layer)
     return out
+
+
+def encode_blob_legacy(arr: np.ndarray) -> bytes:
+    """BlobProto in the pre-BlobShape form old Caffe snapshots use:
+    num/channels/height/width varints (fields 1-4) + packed float data."""
+    a = np.asarray(arr)
+    dims = (1,) * (4 - a.ndim) + a.shape
+    msg = b"".join(_tag(f, 0) + _varint(d)
+                   for f, d in zip((1, 2, 3, 4), dims))
+    return msg + _len_field(5, np.asarray(a, "<f4").ravel().tobytes())
+
+
+# V1LayerParameter.LayerType enum values (caffe.proto) for the layer
+# types that appear in the reference graphs; V1 predates BatchNorm/Scale
+# (those snapshots would carry custom types), so unknown ones encode as 0.
+_V1_TYPES = {"Convolution": 4, "Deconvolution": 39, "ReLU": 18,
+             "Eltwise": 25, "Slice": 33, "Softmax": 20, "TanH": 23,
+             "Input": 0, "BatchNorm": 0, "Scale": 0}
+
+
+def encode_netparameter(layer_specs, net_name: str = "", v1: bool = False
+                        ) -> bytes:
+    """Serialize layers the way a real Caffe snapshot does.
+
+    layer_specs: ordered list of dicts with keys
+      name (str), type (str), blobs (list of arrays; may be empty for
+      ReLU/Eltwise/... layers), bottom/top (optional lists of str),
+      lr_mults (optional list of float, emitted as ParamSpec messages).
+
+    v1=False -> modern NetParameter.layer (field 100, LayerParameter:
+    name=1 type=2 bottom=3 top=4 param=6 blobs=7) with BlobShape'd blobs;
+    v1=True -> legacy NetParameter.layers (field 2, V1LayerParameter:
+    bottom=2 top=3 name=4 type=5(enum) blobs=6) with num/channels/height/
+    width legacy blob dims. Layers without blobs are emitted too — real
+    snapshots serialize the whole graph, and readers must skip them.
+    """
+    out = b""
+    if net_name:
+        out += _len_field(1, net_name.encode())
+    for spec in layer_specs:
+        name = spec["name"].encode()
+        btm = [s.encode() for s in spec.get("bottom", ())]
+        top = [s.encode() for s in spec.get("top", ())]
+        blobs = spec.get("blobs", ())
+        if v1:
+            layer = b"".join(_len_field(2, s) for s in btm)
+            layer += b"".join(_len_field(3, s) for s in top)
+            layer += _len_field(4, name)
+            layer += _tag(5, 0) + _varint(_V1_TYPES.get(spec["type"], 0))
+            layer += b"".join(_len_field(6, encode_blob_legacy(b))
+                              for b in blobs)
+            out += _len_field(2, layer)
+        else:
+            layer = _len_field(1, name)
+            layer += _len_field(2, spec["type"].encode())
+            layer += b"".join(_len_field(3, s) for s in btm)
+            layer += b"".join(_len_field(4, s) for s in top)
+            for lr in spec.get("lr_mults", ()):
+                # ParamSpec { lr_mult = 3 (float) } — readers must skip
+                pspec = _tag(3, 5) + np.float32(lr).tobytes()
+                layer += _len_field(6, pspec)
+            layer += b"".join(_len_field(7, encode_blob(b)) for b in blobs)
+            out += _len_field(100, layer)
+    return out

@@ -11,7 +11,18 @@ BASE=https://people.eecs.berkeley.edu/~junyanz/projects/ideepcolor/models
 OUT=${1:-./weights}
 mkdir -p "$OUT/raw"
 
-fetch() { [ -f "$OUT/raw/$2" ] || curl -fL "$BASE/$1" -o "$OUT/raw/$2"; }
+# One clean diagnostic line on failure (no curl stack spew); exit 1 so
+# callers (and bench) can gate on availability without parsing noise.
+fetch() {
+  [ -f "$OUT/raw/$2" ] && return 0
+  if ! curl -fsSL --connect-timeout 10 --retry 2 "$BASE/$1" \
+       -o "$OUT/raw/$2.part" 2>/dev/null; then
+    rm -f "$OUT/raw/$2.part"
+    echo "fetch failed: $BASE/$1 (server unreachable from this host)" >&2
+    exit 1
+  fi
+  mv "$OUT/raw/$2.part" "$OUT/raw/$2"
+}
 
 fetch reference_model/model.caffemodel         model.caffemodel
 fetch reference_model/model_dist.caffemodel    model_dist.caffemodel || true

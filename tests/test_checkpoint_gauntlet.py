@@ -1,0 +1,365 @@
+"""Checkpoint-fidelity gauntlet (VERDICT round-1 item 1).
+
+The published weights are unreachable offline, so this module proves the
+COMPLETE published-checkpoint load path on full-scale fixtures written in
+the exact on-disk formats the real files use:
+
+  * ``model.caffemodel`` / ``global_model.caffemodel`` — every layer of
+    the deploy prototxts in prototxt order (including parameterless
+    ReLU/Eltwise/Slice layers, which real snapshots serialize too) at
+    TRUE shapes, with Caffe's blob layouts: OIHW convs, (I,O,kh,kw)
+    deconvs, BatchNorm (mean*s, var*s, [s]) triplets with a realistic
+    moving-average scale factor, (C,)-shaped Scale blobs, fixed '_ss'
+    depthwise blobs, garbage '_us' blobs (the reference overwrites them
+    at load, ref data/colorize_image.py:409-413), the true bilinear
+    kernel in 'pred_313_rs' (NOT overwritten — the published file must
+    carry it), and a garbage dist 'pred_ab' conv (pts_in_hull is
+    injected at load, ref :405-407). Both the modern LayerParameter
+    form and the legacy V1LayerParameter form are exercised.
+  * ``pytorch.pth`` — a real ``torch.save`` of the reference's own
+    ``SIGGRAPHGenerator`` state_dict (loaded read-only from
+    /root/reference/models/pytorch/model.py), in both the modern zipfile
+    layout (with num_batches_tracked + _metadata) and the pre-0.4-style
+    legacy serialization without num_batches_tracked
+    (ref prep_net patching at data/colorize_image.py:235-246).
+
+Acceptance: prep_net(path) -> net_forward at the production Xd=256 must
+match an independent torch oracle to <1e-3 mean ab error, and the
+composed uint8 frame to <=1 LSB. If the real files ever appear, point
+IDEEPCOLOR_REAL_CAFFEMODEL / IDEEPCOLOR_REAL_PTH at them and the same
+load path runs against them.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_prototxt_audit import PROTOS, _parse_layers  # noqa: E402
+from test_caffe_net import TorchOracle, _t  # noqa: E402
+
+from ideepcolor_tpu import api  # noqa: E402
+from ideepcolor_tpu.data.color_bins import get_bins  # noqa: E402
+from ideepcolor_tpu.models import caffe_net, caffemodel_io as cio  # noqa: E402
+from ideepcolor_tpu.ops.hints import put_point  # noqa: E402
+
+IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(IMG), reason="reference tree unavailable")
+
+BN_SCALE = 999.982  # typical caffe BatchNorm moving-average accumulator
+
+
+def _bilinear4_grouped(C: int) -> np.ndarray:
+    """(C, 1, 4, 4) caffe grouped-deconv blob of the fixed x2 bilinear
+    kernel (the one the reference injects, data/colorize_image.py:413)."""
+    k = np.array([[.25, .5, .25, 0], [.5, 1., .5, 0],
+                  [.25, .5, .25, 0], [0, 0, 0, 0]], np.float32)
+    return np.tile(k[None, None], (C, 1, 1, 1))
+
+
+def full_scale_layer_specs(variant: str, params_ref: dict,
+                           rng: np.random.Generator) -> list[dict]:
+    """Every layer of the deploy prototxt, in prototxt order, with the
+    blob contents Caffe would have snapshotted."""
+    convs = {c[0]: c for c in caffe_net._convs_for(variant)}
+    bns = set(caffe_net._bns_for(variant))
+    ss_channels = {"conv1_2norm_ss": 64, "conv2_2norm_ss": 128,
+                   "conv3_3norm_ss": 256}
+    specs = []
+    prev_top = "data_l_ab_mask"
+    for name, type_ in _parse_layers(PROTOS[variant]):
+        spec = {"name": name, "type": type_,
+                "bottom": [prev_top], "top": [name]}
+        prev_top = name
+        if name in convs:
+            _n, cin, cout, k, _d, kind = convs[name]
+            w = np.asarray(params_ref[f"{name}.weight"])
+            if kind == "deconv":
+                blob = np.ascontiguousarray(
+                    w[::-1, ::-1].transpose(2, 3, 0, 1))   # -> (I,O,kh,kw)
+            else:
+                blob = np.ascontiguousarray(w.transpose(3, 2, 0, 1))  # OIHW
+            spec["blobs"] = [blob, np.asarray(params_ref[f"{name}.bias"])]
+            spec["lr_mults"] = [1.0, 2.0]
+        elif name in bns:
+            mean = np.asarray(params_ref[f"{name}.mean"])
+            var = np.asarray(params_ref[f"{name}.var"])
+            spec["blobs"] = [mean * BN_SCALE, var * BN_SCALE,
+                             np.array([BN_SCALE], np.float32)]
+            spec["lr_mults"] = [0.0, 0.0, 0.0]
+        elif name in ss_channels:
+            spec["blobs"] = [np.ones((ss_channels[name], 1, 1, 1),
+                                     np.float32)]
+            spec["lr_mults"] = [0.0]
+        elif name == "pred_313_us":
+            # arbitrary snapshot bytes: the loader must IGNORE them (the
+            # reference overwrites '_us' kernels after load)
+            spec["blobs"] = [rng.normal(
+                size=(313, 1, 4, 4)).astype(np.float32)]
+        elif name == "pred_313_rs":
+            # NOT '_us'-suffixed: the published file carries the real
+            # bilinear kernel here; our fixed-kernel upsampler must match
+            spec["blobs"] = [_bilinear4_grouped(313)]
+        elif name == "pred_ab" and variant == "dist":
+            # 1x1 conv whose weights the reference REPLACES with
+            # pts_in_hull at load -> snapshot contents are garbage
+            spec["blobs"] = [rng.normal(size=(2, 313, 1, 1))
+                             .astype(np.float32), np.zeros(2, np.float32)]
+        elif name == "pred_ab":                       # Scale x100 (C,)
+            spec["blobs"] = [np.full((2,), 100.0, np.float32)]
+        elif name == "scale_S":
+            spec["blobs"] = [np.full((313,), 0.2, np.float32)]
+        elif name == "scale_T":
+            spec["blobs"] = [np.full((313,), 2.6, np.float32)]
+        specs.append(spec)
+    return specs
+
+
+def _write_fake_caffemodel(tmp_path, variant, params_ref, v1=False) -> str:
+    rng = np.random.default_rng(20170411)
+    specs = full_scale_layer_specs(variant, params_ref, rng)
+    buf = cio.encode_netparameter(
+        specs, net_name="LtoAB" if variant != "global" else "LtoABGlob",
+        v1=v1)
+    p = str(tmp_path / f"{variant}{'_v1' if v1 else ''}.caffemodel")
+    with open(p, "wb") as f:
+        f.write(buf)
+    return p
+
+
+_API_FOR = {"main": api.ColorizeImageJaxCaffe,
+            "dist": api.ColorizeImageJaxCaffeDist,
+            "global": api.ColorizeImageJaxCaffeGlobDist}
+
+
+@pytest.mark.parametrize("variant,v1", [("main", False), ("main", True),
+                                        ("dist", False), ("dist", True),
+                                        ("global", False)])
+def test_full_scale_caffemodel_loads_exact_params(variant, v1, tmp_path):
+    """prep_net on a full-scale real-format snapshot recovers the exact
+    parameter set (structural layers skipped, BN triplets unscaled,
+    scale blobs collapsed)."""
+    params_ref = caffe_net.init_params(jax.random.key(11), variant)
+    path = _write_fake_caffemodel(tmp_path, variant, params_ref, v1=v1)
+    m = _API_FOR[variant](Xd=32)
+    m.prep_net(0, PROTOS[variant], path)
+    for k in params_ref:
+        got, want = np.asarray(m.params[k]), np.asarray(params_ref[k])
+        assert got.shape == want.shape, k
+        assert np.allclose(got, want, atol=2e-5), (
+            k, np.abs(got - want).max())
+
+
+def _hinted_session(m, Xd):
+    m.load_image(os.environ.get("IDEEPCOLOR_REAL_IMG", IMG))
+    ab = np.zeros((2, Xd, Xd))
+    mask = np.zeros((1, Xd, Xd))
+    put_point(ab, mask, [Xd // 2, Xd // 2 + 10], 3, [23, -69])
+    put_point(ab, mask, [Xd // 3, Xd // 2], 3, [-30, 40])
+    return ab, mask
+
+
+def _oracle_blob(m):
+    """NCHW input blob exactly as the api normalized it."""
+    return np.concatenate(
+        [m.img_l_mc, m.input_ab_mc, m.input_mask_mult], 0)[None].astype(
+        np.float32)
+
+
+def test_caffemodel_main_256_forward_matches_oracle(tmp_path):
+    """The headline acceptance: full-scale caffemodel -> prep_net ->
+    net_forward at Xd=256 within <1e-3 mean ab of the torch oracle, and
+    the composed frame within 1 uint8 LSB."""
+    real = os.environ.get("IDEEPCOLOR_REAL_CAFFEMODEL")
+    params_ref = caffe_net.init_params(jax.random.key(12), "main")
+    path = real or _write_fake_caffemodel(tmp_path, "main", params_ref)
+    m = api.ColorizeImageJaxCaffe(Xd=256)
+    m.prep_net(0, PROTOS["main"], path)
+    ab, mask = _hinted_session(m, 256)
+    out = m.net_forward(ab, mask)
+    assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+    if real:
+        return          # no oracle weights for the real file; load+forward
+    oracle = TorchOracle({k: np.asarray(v) for k, v in m.params.items()},
+                         "main")
+    with torch.no_grad():
+        t = oracle.trunk(_t(_oracle_blob(m)))
+        want_ab = oracle.regression(t).numpy()[0].transpose(1, 2, 0)
+    got_ab = np.asarray(
+        caffe_net.apply_main(m.params, _t(_oracle_blob(m)).numpy()
+                             .transpose(0, 2, 3, 1)))[0]
+    err = np.abs(got_ab - want_ab)
+    assert err.mean() < 1e-3, err.mean()
+    assert err.max() < 0.05, err.max()
+    # end-to-end frame: api's fused compose vs oracle-composed Lab
+    want_rgb = api.lab2rgb_transpose(m.img_l, want_ab.transpose(2, 0, 1))
+    diff = np.abs(out.astype(int) - want_rgb.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_caffemodel_dist_256_forward_matches_oracle(tmp_path):
+    """Dist variant at Xd=256: suggestion distribution + annealed-mean
+    pred_ab against the torch oracle (grouped-deconv upsampling, twin
+    softmax, pts_in_hull einsum)."""
+    params_ref = caffe_net.init_params(jax.random.key(13), "dist")
+    path = _write_fake_caffemodel(tmp_path, "dist", params_ref)
+    m = api.ColorizeImageJaxCaffeDist(Xd=256)
+    m.prep_net(0, PROTOS["dist"], path, S=0.2)
+    ab, mask = _hinted_session(m, 256)
+    out = m.net_forward(ab, mask)
+    assert out.shape == (256, 256, 3)
+
+    import torch.nn.functional as F
+    oracle = TorchOracle({k: np.asarray(v) for k, v in m.params.items()},
+                         "dist")
+    with torch.no_grad():
+        t = oracle.trunk(_t(_oracle_blob(m)))
+        h = torch.relu(
+            oracle.conv("conv3_pred", t["c3"])
+            + oracle.deconv("conv4_pred", t["c4"])
+            + oracle.deconv("conv5_pred", t["c5"])
+            + oracle.deconv("conv6_pred", t["c6"])
+            + oracle.deconv("conv7_pred", t["c7"])
+            + oracle.conv("conv8_pred", t["c8"]))
+        logits = oracle.conv("pred_313", h)
+        kern = torch.tensor(_bilinear4_grouped(313))
+        for _ in range(2):
+            logits = F.conv_transpose2d(logits, kern, stride=2, padding=1,
+                                        groups=313)
+        want_S = torch.softmax(logits * 0.2, dim=1).numpy()[0]
+        dist_T = torch.softmax(logits * float(m.params["scale_T.scale"]),
+                               dim=1)
+        centers = torch.tensor(get_bins().pts_in_hull.astype(np.float32))
+        want_ab = torch.einsum("nkhw,kc->nchw", dist_T,
+                               centers).numpy()[0].transpose(1, 2, 0)
+
+    got_S = np.asarray(m.dist_ab)                     # (313, 256, 256)
+    assert np.abs(got_S - want_S).max() < 1e-4
+    got_ab = np.asarray(m.output_ab).transpose(1, 2, 0)
+    # output_ab is requantized from the uint8 frame (reference parity);
+    # compare in Lab with the same quantization applied to the oracle
+    want_rgb = api.lab2rgb_transpose(m.img_l, want_ab.transpose(2, 0, 1))
+    want_ab_q = api.rgb2lab_transpose(want_rgb)[1:].transpose(1, 2, 0)
+    err = np.abs(got_ab - want_ab_q)
+    assert err.mean() < 1e-2, err.mean()    # 1 LSB uint8 ~ 0.3 ab units
+    diff = np.abs(out.astype(int) - want_rgb.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_caffemodel_global_256_forward_matches_oracle(tmp_path):
+    """Global-hints variant at Xd=256 with a non-trivial histogram."""
+    params_ref = caffe_net.init_params(jax.random.key(14), "global")
+    path = _write_fake_caffemodel(tmp_path, "global", params_ref)
+    m = api.ColorizeImageJaxCaffeGlobDist(Xd=256)
+    m.prep_net(0, PROTOS["global"], path)
+    rng = np.random.default_rng(5)
+    hist = rng.dirichlet(np.ones(313)).astype(np.float32)
+    m.load_image(IMG)
+    Xd = 256
+    out = m.net_forward(np.zeros((2, Xd, Xd)), np.zeros((1, Xd, Xd)), hist)
+    assert out.shape == (256, 256, 3)
+
+    oracle = TorchOracle({k: np.asarray(v) for k, v in m.params.items()},
+                         "global")
+    glob = np.concatenate([hist, [1.0]]).astype(np.float32)[None]
+    with torch.no_grad():
+        g = _t(glob)[:, :, None, None]
+        s = torch.zeros((1, 2, 1, 1))
+        x = torch.relu(oracle.conv("s_conv1", s)
+                       + oracle.conv("glob_conv1", g))
+        x = oracle.bn("s_glob_conv1norm", x)
+        x = oracle.bn("glob_conv2norm",
+                      torch.relu(oracle.conv("glob_conv2", x)))
+        x = oracle.bn("glob_conv3norm",
+                      torch.relu(oracle.conv("glob_conv3", x)))
+        x = oracle.bn("glob_conv4norm",
+                      torch.relu(oracle.conv("glob_conv4", x)))
+        emb = x[:, :, 0, 0]
+        t = oracle.trunk(_t(_oracle_blob(m)), glob_embedding=emb)
+        want_ab = oracle.regression(t).numpy()[0].transpose(1, 2, 0)
+    want_rgb = api.lab2rgb_transpose(m.img_l, want_ab.transpose(2, 0, 1))
+    diff = np.abs(out.astype(int) - want_rgb.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+# ----- pytorch .pth gauntlet -----
+
+REF_MODEL = "/root/reference/models/pytorch/model.py"
+
+
+def _ref_siggraph(dist=False, seed=3):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("ref_siggraph_g",
+                                                  REF_MODEL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(seed)
+    net = mod.SIGGRAPHGenerator(dist=dist)
+    net.eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    return net
+
+
+def test_pth_modern_256_forward_matches_reference_torch(tmp_path):
+    """torch.save'd state_dict (modern zipfile layout, num_batches_tracked
+    and _metadata present) -> prep_net -> forward at Xd=256 within <1e-3
+    mean ab of the reference torch net itself."""
+    real = os.environ.get("IDEEPCOLOR_REAL_PTH")
+    net = _ref_siggraph()
+    if real:
+        path = real
+    else:
+        path = str(tmp_path / "pytorch.pth")
+        torch.save(net.state_dict(), path)   # includes _metadata via OD
+
+    m = api.ColorizeImageJax(Xd=256, maskcent=False)
+    m.prep_net(path=path)
+    ab, mask = _hinted_session(m, 256)
+    out = m.net_forward(ab, mask)
+    assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+    if real:
+        return
+    with torch.no_grad():
+        want_ab = net.forward(m.img_l_mc, m.input_ab_mc,
+                              m.input_mask_mult,
+                              m.mask_cent).numpy()[0].transpose(1, 2, 0)
+    want_rgb = api.lab2rgb_transpose(m.img_l, want_ab.transpose(2, 0, 1))
+    diff = np.abs(out.astype(int) - want_rgb.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_pth_legacy_pre04_layout_loads_identically(tmp_path):
+    """Pre-0.4-era layout: no num_batches_tracked keys, legacy (non-
+    zipfile) torch serialization. Must load to the same params as the
+    modern file (the reference needs a state-dict patch for this era,
+    ref data/colorize_image.py:235-246; our loader just tolerates it)."""
+    net = _ref_siggraph(seed=4)
+    modern = str(tmp_path / "modern.pth")
+    legacy = str(tmp_path / "legacy.pth")
+    torch.save(net.state_dict(), modern)
+    sd_old = {k: v for k, v in net.state_dict().items()
+              if "num_batches_tracked" not in k}
+    torch.save(sd_old, legacy, _use_new_zipfile_serialization=False)
+
+    m1 = api.ColorizeImageJax(Xd=64)
+    m1.prep_net(path=modern)
+    m2 = api.ColorizeImageJax(Xd=64)
+    m2.prep_net(path=legacy)
+    assert set(m1.params) == set(m2.params)
+    for k in m1.params:
+        assert np.array_equal(np.asarray(m1.params[k]),
+                              np.asarray(m2.params[k])), k
