@@ -126,12 +126,23 @@ def bench_click_latency(extras):
         cm.net_forward_table(boxes, vals, k + 1)
         tlat.append(time.perf_counter() - t0)
     tlat = np.sort(tlat) * 1000.0
+    extras["table_click_p95_ms"] = round(float(tlat[int(len(tlat) * .95)]),
+                                         2)
 
-    # bfloat16 serving headroom on the same table path
+    # bfloat16 serving mode (the serve default): latency AND the quality
+    # delta vs f32 on the same frame — the recorded evidence behind
+    # defaulting serving to bf16
     import jax.numpy as jnp
     f32_params = cm.params
+    f32_frame = np.asarray(cm.net_forward_table(boxes, vals, 8))
     cm.params = {k: v.astype(jnp.bfloat16) for k, v in f32_params.items()}
-    cm.net_forward_table(boxes, vals, 3)
+    bf16_frame = np.asarray(cm.net_forward_table(boxes, vals, 8))
+    d = np.abs(bf16_frame.astype(int) - f32_frame.astype(int))
+    extras["bf16_max_lsb"] = int(d.max())
+    extras["bf16_frac_pixels_changed"] = round(float((d > 0).mean()), 4)
+    mse = float(np.mean(d.astype(np.float64) ** 2))
+    extras["bf16_vs_f32_psnr_db"] = round(
+        20 * np.log10(255.0 / np.sqrt(max(mse, 1e-9))), 1)
     blat = []
     for i in range(20):
         t0 = time.perf_counter()
@@ -244,6 +255,60 @@ def bench_student(extras):
             N / dt, 1)
 
 
+def bench_dist_fused_click(extras):
+    """The GUI dist-session click: fused click+window+suggest program
+    (ONE dispatch returns frame, window frame and the K=9 suggestion
+    palette) vs the round-1 3-pass recipe (suggest dispatch + previous-
+    frame readback + click dispatch)."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu import api
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    from ideepcolor_tpu.ops.resize import cubic_resize_matrix_np
+    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
+    if not os.path.exists(img):
+        return
+    m = api.ColorizeImageJaxCaffe(Xd=256)
+    m.prep_net(None)
+    d = api.ColorizeImageJaxCaffeDist(Xd=256)
+    d.prep_net(None)
+    m.load_image(img)
+    d.load_image(img)
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+    boxes[0] = [130, 150, 136, 156]
+    vals[0] = [30, -40]
+    d.predict_dist_table(boxes, vals, 0)
+    win, bucket = 512, 128
+    hb = wb = -(-win // bucket) * bucket
+    l_win_pad = jnp.zeros((hb, wb, 1), jnp.float32)
+    rh = jnp.asarray(cubic_resize_matrix_np(256, win, hb))
+    rw = jnp.asarray(cubic_resize_matrix_np(256, win, wb))
+    m.net_forward_table(boxes, vals, 1)         # previous frame
+    m.net_forward_table_win_suggest(boxes, vals, 1, l_win_pad, rh, rw,
+                                    d, 130, 150, K=9)       # compile
+    ts = []
+    for i in range(20):
+        boxes[1] = [100 + i, 100, 106 + i, 106]
+        vals[1] = [10, 20]
+        t0 = time.perf_counter()
+        m.net_forward_table_win_suggest(boxes, vals, 2, l_win_pad, rh, rw,
+                                        d, 100 + i, 100, K=9)
+        ts.append(time.perf_counter() - t0)
+    ts = np.sort(ts) * 1000.0
+    extras["dist_click_fused_p50_ms"] = round(float(ts[10]), 2)
+    extras["dist_click_fused_p95_ms"] = round(float(ts[18]), 2)
+    ts2 = []
+    for i in range(20):
+        boxes[1] = [100 + i, 100, 106 + i, 106]
+        t0 = time.perf_counter()
+        d.get_ab_reccs(100 + i, 100, K=9, N=25000, return_conf=True)
+        m.get_img_forward()
+        m.net_forward_table_win(boxes, vals, 2, l_win_pad, rh, rw)
+        ts2.append(time.perf_counter() - t0)
+    extras["dist_click_unfused_p50_ms"] = round(
+        float(np.sort(ts2)[10]) * 1000.0, 2)
+
+
 def bench_global_hints(extras):
     """Config 3: global histogram transfer."""
     from ideepcolor_tpu import api
@@ -251,7 +316,11 @@ def bench_global_hints(extras):
     rng = np.random.default_rng(1)
     m = api.ColorizeImageJaxCaffeGlobDist(Xd=256)
     m.prep_net(None)
-    m.set_image((rng.random((256, 256, 3)) * 255).astype(np.uint8))
+    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
+    if os.path.exists(img):
+        m.load_image(img)      # real full-res frame for the fullres metric
+    else:
+        m.set_image((rng.random((256, 256, 3)) * 255).astype(np.uint8))
     glob = np.asarray(global_stats.extract(
         rng.random((256, 256, 3)).astype(np.float32))["glob_ab_313"])
     ab = np.zeros((2, 256, 256))
@@ -263,6 +332,14 @@ def bench_global_hints(extras):
         m.net_forward(ab, mask, glob)
         ts.append(time.perf_counter() - t0)
     extras["global_hints_ms"] = round(float(np.median(ts)) * 1000, 2)
+    # fused glob forward + full-res (one synchronization point)
+    m.net_forward_fullres(ab, mask, glob)
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        m.net_forward_fullres(ab, mask, glob)
+        ts.append(time.perf_counter() - t0)
+    extras["global_plus_fullres_ms"] = round(float(np.median(ts)) * 1000, 2)
 
 
 def bench_batch_fullres(extras):
@@ -403,6 +480,120 @@ def bench_http_serving(extras):
         srv.server_close()
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def bench_serve_soak(extras):
+    """Mixed-traffic soak: 8 concurrent clients driving fullres / netres /
+    session-click / session-suggest against one in-process server;
+    records aggregate p99, per-class p50s, 5xx count and host RSS growth
+    (load-skew hardening evidence — sessions ride the small-upload table
+    path, so RSS must stay bounded on this leaky transport).
+    Duration via IDEEPCOLOR_SOAK_SECS (default 120)."""
+    import http.client
+    import threading
+    from ideepcolor_tpu.apps import serve
+    secs = float(os.environ.get("IDEEPCOLOR_SOAK_SECS", "120"))
+    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
+    if not os.path.exists(img):
+        return
+    body = open(img, "rb").read()
+    srv = serve.make_server(port=0, size=256, auto_batch=16)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        host, port = srv.server_address
+        svc = srv.RequestHandlerClass.service
+        svc.warmup()
+        # pre-warm every request class once (compiles excluded from soak)
+        c = http.client.HTTPConnection(host, port, timeout=600)
+        c.request("POST", "/colorize", body=body)
+        c.getresponse().read()
+        c.request("POST", "/session", body=body)
+        sid0 = json.loads(c.getresponse().read())["id"]
+        c.request("POST", f"/session/click?id={sid0}",
+                  body=b'[{"y":99,"x":99,"ab":[20,-20],"radius":3}]')
+        c.getresponse().read()
+        c.request("POST", f"/session/suggest?id={sid0}&h=99&w=99", body=b"[]")
+        c.getresponse().read()
+
+        lat = {"fullres": [], "netres": [], "click": [], "suggest": []}
+        lock = threading.Lock()
+        errors = []
+        stop_at = time.time() + secs
+
+        def client(ci):
+            cc = http.client.HTTPConnection(host, port, timeout=600)
+            cc.request("POST", "/session", body=body)
+            sid = json.loads(cc.getresponse().read())["id"]
+            i = 0
+            while time.time() < stop_at:
+                kind = ("click", "netres", "click", "suggest", "click",
+                        "fullres")[i % 6]
+                y = 3 + (37 * i + 11 * ci) % 250
+                x = 3 + (53 * i + 7 * ci) % 250
+                try:
+                    t0 = time.perf_counter()
+                    if kind == "fullres":
+                        cc.request("POST", "/colorize", body=body)
+                    elif kind == "netres":
+                        cc.request("POST", "/colorize?fullres=0", body=body)
+                    elif kind == "click":
+                        hints = [{"y": y, "x": x, "ab": [30.0, -40.0],
+                                  "radius": 3}]
+                        cc.request("POST", f"/session/click?id={sid}",
+                                   body=json.dumps(hints).encode())
+                    else:
+                        cc.request("POST",
+                                   f"/session/suggest?id={sid}&h={y}&w={x}",
+                                   body=b"[]")
+                    r = cc.getresponse()
+                    r.read()
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        if r.status >= 500:
+                            errors.append(r.status)
+                        else:
+                            lat[kind].append(dt)
+                except OSError as e:
+                    with lock:
+                        errors.append(599)
+                    print(f"# soak client {ci}: {type(e).__name__}, "
+                          f"reconnecting", file=sys.stderr)
+                    cc = http.client.HTTPConnection(host, port, timeout=600)
+                i += 1
+
+        rss0 = _rss_mb()
+        threads = [threading.Thread(target=client, args=(ci,))
+                   for ci in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        rss1 = _rss_mb()
+        all_lat = np.sort(np.concatenate(
+            [np.asarray(v) for v in lat.values() if v])) * 1000.0
+        extras["soak_secs"] = secs
+        extras["soak_requests"] = int(len(all_lat))
+        extras["soak_req_per_sec"] = round(len(all_lat) / secs, 1)
+        extras["soak_p99_ms"] = round(float(all_lat[int(len(all_lat)
+                                                        * 0.99)]), 1)
+        for kind, v in lat.items():
+            if v:
+                extras[f"soak_{kind}_p50_ms"] = round(
+                    float(np.median(v)) * 1000, 1)
+        extras["soak_5xx"] = len(errors)
+        extras["soak_rss_growth_mb"] = round(rss1 - rss0, 1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def bench_streaming(extras):
     """Config 5: 30fps stream with persistent hints + dist decode."""
     import jax
@@ -453,8 +644,9 @@ def main():
         cm = None
     needs_cm = (bench_throughput, bench_drag_pipeline)
     for fn in (bench_throughput, bench_drag_pipeline, bench_batched_serving,
-               bench_student, bench_global_hints, bench_batch_fullres,
-               bench_streaming, bench_http_serving):
+               bench_student, bench_dist_fused_click, bench_global_hints,
+               bench_batch_fullres, bench_streaming, bench_http_serving,
+               bench_serve_soak):
         try:
             fn(cm, extras) if fn in needs_cm else fn(extras)
         except Exception as e:  # keep the headline even if a config fails

@@ -203,8 +203,11 @@ class ColorizeService:
 
     def __init__(self, weights: str = '', size: int = 256,
                  maskcent: bool = False, use_mesh: bool = False,
-                 dtype: str | None = None, auto_batch: int = 0,
+                 dtype: str | None = "bfloat16", auto_batch: int = 0,
                  glob_weights: str = '', student_weights: str = ''):
+        """dtype: serving precision, DEFAULT bfloat16 — the fast MXU mode,
+        measured 1-2 uint8 LSB from f32 frames (bench records the exact
+        LSB/PSNR delta per run); pass 'float32' for bit-parity serving."""
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
@@ -484,11 +487,14 @@ class ColorizeService:
             hist = np.asarray(global_stats.extract(
                 ref_rgb.astype(np.float32) / 255.0)["glob_ab_313"])
             self._glob.load_image_array(rgb)
-            result = self._glob.net_forward(ab, mask, hist)
+            if fullres:
+                # fused forward + full-res: one synchronization point
+                # instead of two full round trips
+                result = self._glob.net_forward_fullres(ab, mask, hist)
+            else:
+                result = self._glob.net_forward(ab, mask, hist)
             if isinstance(result, int):
                 raise RuntimeError("forward failed")
-            if fullres:
-                result = self._glob.get_img_fullres()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -781,8 +787,11 @@ def main(argv=None):
     p.add_argument("--pytorch_maskcent", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard /colorize_batch over all local devices")
-    p.add_argument("--dtype", type=str, default=None,
-                   help="serving precision, e.g. bfloat16 (fast MXU mode)")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   help="serving precision (default bfloat16, the fast "
+                        "MXU mode, 1-2 uint8 LSB from f32 — bench "
+                        "records the delta; pass float32 for bit-parity "
+                        "serving)")
     p.add_argument("--auto-batch", type=int, default=0,
                    help="max dynamic batch for net-res /colorize "
                         "(0 = off); concurrent requests coalesce into "

@@ -212,6 +212,54 @@ def make_table_click_win_program(apply_fn, size: int):
     return click
 
 
+def make_table_click_win_suggest_program(apply_fn, size: int, K: int = 9,
+                                         N: int = 25000, map_div: int = 1):
+    """Dist-session GUI click: frame + window frame + color suggestions in
+    ONE dispatch.
+
+    The reference's dist click chain pays three separate passes on the
+    host (ref ui/gui_draw.py:179-193: suggestion sampling + kmeans, then
+    the forward, then the window compose); round 1 still paid one extra
+    RPC round trip per click for the suggestion dispatch + the previous-
+    frame pixel readback. Here everything rides the click program:
+    rasterize + forward + net/window frames + CMF-sample + k-means over
+    the (device-resident) per-image distribution map + the Lab->RGB
+    palette conversion. Returns (rgb, out_ab, win, colors) where colors
+    is the reference suggest_color contract: (K+1, 3) float [0,1], row 0
+    = the previous frame's pixel at the click (ref ui/gui_draw.py:260-270
+    concatenates current-pixel color before the K suggestions).
+
+    map_div: dist-map coordinate divisor (4 for the SIGGRAPH lowres
+    map, 1 for the caffe-dist full-res map).
+    """
+    from ..ops import kmeans as km
+    from ..ops.hints import rasterize_hints
+    from ..ops.resize import zoom_with_matrices
+
+    @jax.jit
+    def click(l_net, l_mc, l_win_pad, rh, rw, params, boxes, values, count,
+              dist_map, h, w, centers_tbl, prev_rgb, key):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        pred = apply_fn(params, l_mc, ab[None], mask[None])[0]
+        rgb = compose_rgb_u8(l_net, pred)
+        out_ab = requantized_ab(rgb)
+        win_ab = zoom_with_matrices(out_ab, rh, rw)
+        win = compose_rgb_u8(l_win_pad, win_ab)
+
+        pdf = dist_map[h // map_div, w // map_div, :]
+        centers, _conf = km.ab_recommendations(pdf, centers_tbl, key,
+                                               K=K, N=N)
+        L = jnp.full((K, 1), l_net[h, w, 0], jnp.float32)
+        colors = jnp.clip(
+            cs.lab_to_rgb(jnp.concatenate([L, centers], axis=1)[:, None, :]),
+            0.0, 1.0)[:, 0, :]
+        cur = prev_rgb[h, w].astype(jnp.float32) / 255.0
+        colors = jnp.concatenate([cur[None], colors], axis=0)   # (K+1, 3)
+        return rgb, out_ab, win, colors
+
+    return click
+
+
 def make_click_program(apply_fn):
     """Build the fused one-dispatch click program for a model family.
 

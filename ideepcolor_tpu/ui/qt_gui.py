@@ -222,15 +222,27 @@ class GUIDraw(QWidget):
                                  np.array(c, np.uint8))
         return tuple(int(v) for v in snap)
 
-    def change_color(self, pos=None):
+    def _can_fuse_suggest(self) -> bool:
+        """True when the next click can take the fused click+suggest
+        program: dist session, table capacity left (the click may add one
+        edit), per-image dist map + previous frame device-resident."""
+        return (self.dist_model is not None and self.image_loaded
+                and len(self.uiControl.userEdits) < MAX_HINTS
+                and getattr(self.model, "_fwd_tbl", None) is not None
+                and getattr(self.dist_model, "_dev_dist", None) is not None
+                and (self.model._dev_output_rgb is not None
+                     or self.model._output_rgb_np is not None))
+
+    def change_color(self, pos=None, defer_suggest=False):
         if pos is None:
             return
         x, y = self.scale_point(pos)
         self.update_gamut.emit(float(self.im_lab[y, x, 0]))
-        rgb_colors = self.suggest_color(h=y, w=x, K=9)
-        if rgb_colors is not None:
-            rgb_colors[-1, :] = 0.5
-            self.suggest_colors.emit(rgb_colors)
+        if not defer_suggest:       # fused clicks emit from compute_result
+            rgb_colors = self.suggest_color(h=y, w=x, K=9)
+            if rgb_colors is not None:
+                rgb_colors[-1, :] = 0.5
+                self.suggest_colors.emit(rgb_colors)
         used = self.uiControl.used_colors()
         self.used_colors.emit(used)
         snap_color = self.calibrate_color(self.user_color, pos)
@@ -298,13 +310,41 @@ class GUIDraw(QWidget):
                 is_predict = True
         return is_predict
 
-    def compute_result(self):
+    def compute_result(self, suggest_pos=None):
         from ..api.colorize import rgb2lab_transpose, lab2rgb_transpose
-        # fast path: ship the 64-slot hint table, rasterize on device
-        # (one fused program, ~1.8 KB upload); falls back to the dense
-        # reference-parity path for backends without a table program.
+        # fast path: ship the hint table, rasterize on device (one fused
+        # program, ~7 KB upload); falls back to the dense reference-
+        # parity path for backends without a table program.
         self._t_click = self.timer.stage("click_to_frame")
         self._t_click.__enter__()
+        if suggest_pos is not None \
+                and len(self.uiControl.userEdits) <= MAX_HINTS:
+            # fused click+suggest: window frame AND the suggestion
+            # palette in the SAME dispatch (dist sessions)
+            boxes, vals, n = self.uiControl.hint_table()
+            sx, sy = self.scale_point(suggest_pos)
+            out = self.model.net_forward_table_win_suggest(
+                boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
+                self._dev_win_rw, self.dist_model, sy, sx, K=9)
+            if not (np.isscalar(out) and out == -1):
+                win, colors = out
+                self.result = np.ascontiguousarray(
+                    win[:self.win_h, :self.win_w])
+                self.im_ab0 = self.model.input_ab
+                self.im_mask0 = self.model.input_mask
+                self.update_result.emit(self.result)
+                colors = np.asarray(colors, np.float64)
+                colors[-1, :] = 0.5
+                self.suggest_colors.emit(colors)
+                self._t_click.__exit__(None, None, None)
+                self.update()
+                return
+            # fused program unavailable after all: emit the deferred
+            # suggestion the unfused way, then recompute below
+            rgb_colors = self.suggest_color(h=sy, w=sx, K=9)
+            if rgb_colors is not None:
+                rgb_colors[-1, :] = 0.5
+                self.suggest_colors.emit(rgb_colors)
         if len(self.uiControl.userEdits) > MAX_HINTS:
             # more edits than table slots: don't build the table at all —
             # the dense parity path below rasterizes ALL of them
@@ -419,9 +459,14 @@ class GUIDraw(QWidget):
         self.pos = pos
         if event.button() == Qt.LeftButton:
             self.ui_mode = 'point'
-            self.change_color(pos)
+            # dist sessions: fold the suggestion chain into the click
+            # dispatch (one RPC round trip instead of three) when the
+            # fused program can run; otherwise reference order (suggest,
+            # then recompute)
+            fused = self._can_fuse_suggest()
+            self.change_color(pos, defer_suggest=fused)
             self.update_ui(move_point=False)
-            self.compute_result()
+            self.compute_result(suggest_pos=pos if fused else None)
         elif event.button() == Qt.RightButton:
             self.ui_mode = 'erase'
             self.update_ui(move_point=False)

@@ -337,3 +337,42 @@ def test_session_dump_replays_to_identical_frame(tmp_path):
     # table-path click program and dense replay program are the same math
     # in different XLA programs: byte-identical frames expected
     assert np.array_equal(replayed, original)
+
+
+def test_fused_click_suggest_matches_unfused(gui):
+    """Dist-session clicks take the fused click+suggest program (one
+    dispatch). Palette rows must match the unfused reference recipe run
+    with the same rng key; row 0 is the PREVIOUS frame's pixel
+    (reference order: suggestions precede the recompute); the frame must
+    equal a plain recompute of the same edit state."""
+    qt_gui, draw = gui
+    draw.uiControl.reset()
+    draw.compute_result()
+    draw.predict_color()
+    dist = draw.dist_model
+    key0 = dist._rng_key
+    x, y = draw.scale_point(_fake_qt.QPoint(130, 140))
+    prev_pix = draw.model.get_img_forward()[y, x] / 255.0
+
+    captured = []
+    draw.suggest_colors.connect(captured.append)
+    draw.user_color = (180, 60, 50)
+    assert draw._can_fuse_suggest()
+    draw.mousePressEvent(_fake_qt._Event(130, 140, _fake_qt.Qt.LeftButton))
+    assert draw.model._click_sug_cache        # fused program was built
+    assert captured
+    fused = np.asarray(captured[-1])
+    assert fused.shape == (10, 3)
+    fused_frame = draw.result.copy()
+
+    # row 0: previous frame's pixel (pre-click)
+    np.testing.assert_allclose(fused[0], prev_pix, atol=2 / 255)
+    # rows 1..8 match the unfused chain replayed with the same key
+    # (row 9 is the 0.5 custom swatch in both)
+    dist._rng_key = key0
+    want = draw.suggest_color(h=y, w=x, K=9)
+    np.testing.assert_allclose(fused[1:9], want[1:9], atol=2 / 255)
+    assert np.all(fused[9] == 0.5)
+    # frame: identical to a plain recompute of the same state
+    draw.compute_result()
+    np.testing.assert_array_equal(fused_frame, draw.result)
