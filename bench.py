@@ -309,6 +309,61 @@ def bench_dist_fused_click(extras):
         float(np.sort(ts2)[10]) * 1000.0, 2)
 
 
+def bench_trained_quality(extras):
+    """Quality numbers from the TRAINED committed weights (weights/):
+    eval AUC (count-averaged PSNR over the hint sweep, apps/eval.py) on
+    the held-out corpus images, plus the distilled students' AUC drop.
+    Skipped silently when no trained weights are committed."""
+    wdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights")
+    teacher_path = os.path.join(wdir, "teacher.npz")
+    if not os.path.exists(teacher_path):
+        return
+    import jax
+    from ideepcolor_tpu.apps.eval import curve_auc, evaluate
+    from ideepcolor_tpu.models import siggraph
+
+    # deterministic holdout set (never trained on): built by
+    # scripts/build_offline_corpus.py from reference + bundled samples
+    import subprocess
+    corpus = "/tmp/bench_corpus"
+    if not os.path.isdir(os.path.join(corpus, "holdout")):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "build_offline_corpus.py"), corpus],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"# corpus build failed: {r.stderr.strip()[:160]}",
+                  file=sys.stderr)
+            return
+    from ideepcolor_tpu.apps.eval import load_eval_images
+    images = load_eval_images(os.path.join(corpus, "holdout"), 256)
+    if not len(images):
+        return
+    counts = (0, 1, 2, 5, 10, 25)
+
+    def auc_of(path):
+        from ideepcolor_tpu.api.colorize import _load_checkpoint
+        params = siggraph.params_from_state_dict(_load_checkpoint(path))
+        curve = evaluate(params, images, counts, batch=len(images))
+        return curve, curve_auc(curve)
+
+    curve, auc = auc_of(teacher_path)
+    extras["eval_auc_db"] = round(auc, 2)
+    extras["eval_psnr_0_hints_db"] = round(curve[0], 2)
+    extras["eval_psnr_25_hints_db"] = round(curve[25], 2)
+    extras["eval_curve_monotone"] = bool(
+        all(curve[a] <= curve[b] + 0.3     # 0.3 dB noise allowance
+            for a, b in zip(counts, counts[1:])))
+    for tag in ("w05", "w025"):
+        spath = os.path.join(wdir, f"student_{tag}.npz")
+        if os.path.exists(spath):
+            _c, sauc = auc_of(spath)
+            extras[f"student_{tag}_auc_db"] = round(sauc, 2)
+            extras[f"student_{tag}_auc_drop_db"] = round(auc - sauc, 2)
+
+
 def bench_global_hints(extras):
     """Config 3: global histogram transfer."""
     from ideepcolor_tpu import api
@@ -644,9 +699,9 @@ def main():
         cm = None
     needs_cm = (bench_throughput, bench_drag_pipeline)
     for fn in (bench_throughput, bench_drag_pipeline, bench_batched_serving,
-               bench_student, bench_dist_fused_click, bench_global_hints,
-               bench_batch_fullres, bench_streaming, bench_http_serving,
-               bench_serve_soak):
+               bench_student, bench_dist_fused_click, bench_trained_quality,
+               bench_global_hints, bench_batch_fullres, bench_streaming,
+               bench_http_serving, bench_serve_soak):
         try:
             fn(cm, extras) if fn in needs_cm else fn(extras)
         except Exception as e:  # keep the headline even if a config fails

@@ -83,7 +83,10 @@ def _load_checkpoint(path: str) -> dict | None:
                     if k.startswith("params/")}
         return flat
     if path.endswith(".npz"):
-        return dict(np.load(path))
+        # f16 is a STORAGE format (halves checkpoint size); compute stays
+        # f32 unless the caller casts explicitly via dtype=
+        return {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+                for k, v in np.load(path).items()}
     if path.endswith((".pth", ".pt")):
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=False)

@@ -44,6 +44,13 @@ def parse_args(argv=None):
                     help="student channel multiplier for --distill-from")
     ap.add_argument("--teacher-dtype", type=str, default="bfloat16",
                     help="teacher forward precision during distillation")
+    ap.add_argument("--data-mode", type=str, default="auto",
+                    choices=("auto", "host", "device"),
+                    help="device: upload the corpus once and augment "
+                         "on-device (train/device_data.py — removes the "
+                         "per-step batch upload, which caps tunnel-"
+                         "attached training at ~2 steps/s); auto picks "
+                         "device when the corpus fits in HBM")
     return ap.parse_args(argv)
 
 
@@ -107,8 +114,20 @@ def main(argv=None):
         jitted, shard_state, shard_batch = tstep.make_sharded_train_step(
             cfg, mesh)
         log_keys = ("reg", "cls")
-    loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
+    from ideepcolor_tpu.train.device_data import (DeviceDataset,
+                                                  corpus_fits_on_device)
+    use_device_data = (args.data_mode == "device"
+                       or (args.data_mode == "auto"
+                           and corpus_fits_on_device(args.data_dir)))
+    if use_device_data:
+        loader = DeviceDataset(args.data_dir, batch_size=args.batch,
                                size=args.size)
+        print(f"device-resident dataset: {loader.n_images} images, "
+              f"{loader.bytes_on_device / 1e6:.1f} MB on device "
+              f"(on-device augmentation; steps consume only rng keys)")
+    else:
+        loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
+                                   size=args.size)
     timer = StageTimer()
     key = jax.random.key(1)
 

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Assemble the offline training corpus for the demo colorizer.
+
+No network is available in this environment, so the corpus is every color
+image reachable offline: the reference's demo/test images (ref test_imgs/,
+imgs/), the ImageNet val refs it ships for histogram transfer, and the
+sample photos bundled with scikit-learn / scipy / matplotlib. A fixed
+holdout split keeps evaluation honest (held-out images never train).
+
+This is a *capability demonstration* corpus (~15 photos + heavy
+augmentation in train/data.py), not an ImageNet substitute: the resulting
+checkpoint proves the training/eval/distillation machinery end-to-end
+(monotone PSNR-vs-hints curve, student quality deltas), not paper-level
+generalization.
+
+Usage: python scripts/build_offline_corpus.py [OUT_DIR]   (default /tmp/corpus)
+"""
+import os
+import shutil
+import sys
+
+REF = "/root/reference"
+
+# held out of training, used for the eval curve (a demo photo, an
+# ImageNet val frame, and a bundled sample — three distinct sources)
+HOLDOUT_NAMES = {"parrot.jpg", "ILSVRC2012_val_00002202.JPEG", "china.jpg"}
+
+# single-channel sources are useless as color ground truth
+SKIP_NAMES = {"balls_gray.JPEG", "bird_gray.jpg", "demo.gif"}
+
+
+def gather(out_dir: str) -> tuple[list, list]:
+    from PIL import Image
+    os.makedirs(f"{out_dir}/train", exist_ok=True)
+    os.makedirs(f"{out_dir}/holdout", exist_ok=True)
+
+    sources = []
+    for root in (f"{REF}/test_imgs", f"{REF}/imgs"):
+        if os.path.isdir(root):
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                        sources.append(os.path.join(dirpath, f))
+    try:
+        import sklearn.datasets
+        imgdir = os.path.join(os.path.dirname(sklearn.datasets.__file__),
+                              "images")
+        for f in os.listdir(imgdir):
+            if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                sources.append(os.path.join(imgdir, f))
+    except ImportError:
+        pass
+
+    train, holdout = [], []
+    for src in sorted(sources):
+        name = os.path.basename(src)
+        if name in SKIP_NAMES:
+            continue
+        try:
+            im = Image.open(src).convert("RGB")
+        except Exception as e:
+            print(f"skip {name}: {e}", file=sys.stderr)
+            continue
+        if im.size[0] < 64 or im.size[1] < 64:
+            continue
+        split = "holdout" if name in HOLDOUT_NAMES else "train"
+        dst = f"{out_dir}/{split}/{name.replace('.JPEG', '.jpg')}"
+        if src.lower().endswith((".jpg", ".jpeg")):
+            shutil.copy(src, dst)
+        else:
+            im.save(dst, quality=97)
+        (holdout if split == "holdout" else train).append(dst)
+
+    # scipy's raccoon face (1024x768 photo)
+    try:
+        import numpy as np
+        import scipy.datasets
+        face = scipy.datasets.face()
+        Image.fromarray(np.asarray(face)).save(
+            f"{out_dir}/train/scipy_face.jpg", quality=97)
+        train.append(f"{out_dir}/train/scipy_face.jpg")
+    except Exception as e:
+        print(f"skip scipy face: {e}", file=sys.stderr)
+    # matplotlib's grace_hopper portrait
+    try:
+        import matplotlib
+        mpl_img = os.path.join(os.path.dirname(matplotlib.__file__),
+                               "mpl-data", "sample_data",
+                               "grace_hopper.jpg")
+        if os.path.exists(mpl_img):
+            shutil.copy(mpl_img, f"{out_dir}/train/grace_hopper.jpg")
+            train.append(f"{out_dir}/train/grace_hopper.jpg")
+    except ImportError:
+        pass
+    return train, holdout
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/corpus"
+    train, holdout = gather(out_dir)
+    print(f"{out_dir}: {len(train)} train / {len(holdout)} holdout")
+    for p in holdout:
+        print(f"  holdout: {os.path.basename(p)}")
+    return 0 if train and holdout else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Tests for the device-resident dataset / on-device augmentation."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ideepcolor_tpu.train import device_data as dd
+
+
+def _np_bilinear(img, ys, xs):
+    """Separable align-corners bilinear oracle in numpy."""
+    out = np.empty((len(ys), img.shape[1], img.shape[2]), np.float64)
+    for c in range(img.shape[2]):
+        for j, y in enumerate(ys):
+            y0 = min(int(np.floor(y)), img.shape[0] - 1)
+            y1 = min(y0 + 1, img.shape[0] - 1)
+            w = y - y0
+            out[j, :, c] = img[y0, :, c] * (1 - w) + img[y1, :, c] * w
+    out2 = np.empty((len(ys), len(xs), img.shape[2]), np.float64)
+    for c in range(img.shape[2]):
+        for j, x in enumerate(xs):
+            x0 = min(int(np.floor(x)), img.shape[1] - 1)
+            x1 = min(x0 + 1, img.shape[1] - 1)
+            w = x - x0
+            out2[:, j, c] = out[:, x0, c] * (1 - w) + out[:, x1, c] * w
+    return out2
+
+
+def test_bilinear_crop_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    img = rng.random((24, 24, 3)).astype(np.float32)
+    ys = np.linspace(3.2, 17.9, 11).astype(np.float32)
+    xs = np.linspace(0.0, 22.4, 11).astype(np.float32)
+    got = np.asarray(dd._bilinear_crop(jnp.asarray(img), jnp.asarray(ys),
+                                       jnp.asarray(xs)))
+    want = _np_bilinear(img, ys, xs)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_batch_shapes_ranges_and_determinism():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+    dev = jnp.asarray(imgs)
+    k = jax.random.key(7)
+    b1 = dd.sample_batch(dev, k, batch=4, size=32)
+    assert b1["l"].shape == (4, 32, 32, 1)
+    assert b1["ab"].shape == (4, 32, 32, 2)
+    l = np.asarray(b1["l"])
+    ab = np.asarray(b1["ab"])
+    assert 0.0 <= l.min() and l.max() <= 100.0
+    assert -110.0 <= ab.min() and ab.max() <= 110.0
+    # same key -> identical batch; fresh key -> different
+    b2 = dd.sample_batch(dev, k, batch=4, size=32)
+    np.testing.assert_array_equal(np.asarray(b1["l"]), np.asarray(b2["l"]))
+    b3 = dd.sample_batch(dev, jax.random.key(8), batch=4, size=32)
+    assert not np.array_equal(np.asarray(b1["l"]), np.asarray(b3["l"]))
+
+
+def test_device_dataset_iterates_device_batches(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (48, 40, 3),
+                                     dtype=np.uint8)).save(
+            tmp_path / f"im{i}.png")
+    ds = dd.DeviceDataset(str(tmp_path), batch_size=2, size=32, store=48)
+    assert ds.n_images == 3
+    b = next(ds)
+    assert isinstance(b["l"], jax.Array)      # stays on device
+    assert b["l"].shape == (2, 32, 32, 1)
+    b2 = next(ds)                             # key advances
+    assert not np.array_equal(np.asarray(b["l"]), np.asarray(b2["l"]))
+    assert dd.corpus_fits_on_device(str(tmp_path), store=48)
+    assert not dd.corpus_fits_on_device(str(tmp_path), store=48,
+                                        budget_bytes=100)
+
+
+def test_augmentation_produces_crops_and_flips():
+    """Across many samples the augmenter must actually vary scale and
+    orientation: a corner-marked image shows up flipped ~half the time."""
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    img[0, :, :16] = 255                      # left half white
+    dev = jnp.asarray(img)
+    b = dd.sample_batch(dev, jax.random.key(3), batch=32, size=16)
+    l = np.asarray(b["l"])                    # (32,16,16,1)
+    left_mean = l[:, :, :4].mean(axis=(1, 2, 3))
+    right_mean = l[:, :, -4:].mean(axis=(1, 2, 3))
+    n_flipped = int((right_mean > left_mean).sum())
+    assert 4 <= n_flipped <= 28               # both orientations appear
+
+
+def test_color_jitter_randomizes_hue_and_composites_regions():
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8)
+    dev = jnp.asarray(imgs)
+    k = jax.random.key(11)
+    plain = dd.sample_batch(dev, k, batch=8, size=24)
+    jit = dd.sample_batch(dev, k, batch=8, size=24, color_jitter=True)
+    ab_p = np.asarray(plain["ab"])
+    ab_j = np.asarray(jit["ab"])
+    assert not np.allclose(ab_p, ab_j, atol=1.0)
+    # chroma scale stays within the 0.7-1.3 jitter envelope on average
+    mean_p = np.linalg.norm(ab_p, axis=-1).mean()
+    mean_j = np.linalg.norm(ab_j, axis=-1).mean()
+    assert 0.6 < mean_j / mean_p < 1.4
+    # L stays a valid luminance plane
+    l = np.asarray(jit["l"])
+    assert 0.0 <= l.min() and l.max() <= 100.0
+
+
+def test_color_jitter_creates_two_region_samples():
+    """A constant-color corpus can only acquire chroma variation through
+    the two-rotation composite: most jittered samples must contain two
+    distinct hues while plain samples are uniform."""
+    img = np.full((1, 32, 32, 3), 0, np.uint8)
+    img[..., 0] = 200                         # saturated red
+    dev = jnp.asarray(img)
+    plain = dd.sample_batch(dev, jax.random.key(5), batch=32, size=16)
+    jit = dd.sample_batch(dev, jax.random.key(5), batch=32, size=16,
+                          color_jitter=True)
+    std_p = np.asarray(plain["ab"]).std(axis=(1, 2)).max(axis=-1)
+    std_j = np.asarray(jit["ab"]).std(axis=(1, 2)).max(axis=-1)
+    assert std_p.max() < 2.0                  # uniform without jitter
+    n_two_region = int((std_j > 5.0).sum())
+    assert n_two_region >= 12                 # ~75% composite rate
