@@ -37,6 +37,10 @@ def parse_args(argv=None):
                     help="hint patch half-width (patch = (2*half+1)^2)")
     ap.add_argument("--out", type=str, default="",
                     help="also write the curve as JSON")
+    ap.add_argument("--save-grid", type=str, default="",
+                    help="write a contact sheet PNG: one row per eval "
+                         "image, one column per hint count (+ ground "
+                         "truth), via utils.visualize.grid_vis")
     return ap.parse_args(argv)
 
 
@@ -152,6 +156,51 @@ def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
             for k, s in sums.items()}
 
 
+@functools.lru_cache(maxsize=4)
+def _make_render_step(maskcent: float, half: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import siggraph
+    from ..ops import colorspace
+    from ..train import hints_sim
+
+    @jax.jit
+    def step(params, rgb, key, count):
+        lab = colorspace.rgb_to_lab(rgb)
+        l, gt_ab = lab[..., :1], lab[..., 1:]
+        hint_ab, hint_mask = hints_sim.reveal_hints_fixed(
+            key, gt_ab, count, half=half)
+        pred_ab = siggraph.apply(params, l - 50.0, hint_ab, hint_mask,
+                                 maskcent)
+        return colorspace.lab_to_rgb_u8(jnp.concatenate([l, pred_ab], -1))
+
+    return step
+
+
+def save_colorization_grid(params, images, counts, path, maskcent=0.0,
+                           half=2, seed=0):
+    """Contact sheet: row per image, column per hint count + ground
+    truth last (the visual evidence behind the PSNR curve)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..utils.visualize import grid_vis
+    step = _make_render_step(maskcent, half)
+    dev = jnp.asarray(images)
+    key = jax.random.key(seed)
+    cols = [np.asarray(step(params, dev, key, jnp.int32(k)))
+            for k in counts]
+    cols.append(np.round(np.clip(images, 0, 1) * 255).astype(np.uint8))
+    tiles = np.stack([col[i] for i in range(len(images))
+                      for col in cols])
+    canvas = grid_vis(tiles, len(images), len(cols))
+    from PIL import Image
+    Image.fromarray(canvas.astype(np.uint8)).save(path)
+    return path
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ideepcolor_tpu.config import enable_persistent_compile_cache
@@ -192,6 +241,12 @@ def main(argv=None):
                        "weights": args.weights, "psnr_by_hints": curve,
                        "auc_db": auc}, f)
         print(f"wrote {args.out}")
+    if args.save_grid:
+        images = load_eval_images(paths, args.size)
+        save_colorization_grid(params, images, counts, args.save_grid,
+                               maskcent=args.maskcent, half=args.half,
+                               seed=args.seed)
+        print(f"wrote {args.save_grid}")
     return 0
 
 

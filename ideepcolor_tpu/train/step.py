@@ -149,7 +149,9 @@ def save_train_state(path: str, state) -> None:
     for i, leaf in enumerate(leaves):
         flat[f"opt/{i}"] = np.asarray(leaf)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), flat)
+        # a re-run that reaches the same step number must overwrite, not
+        # die mid-training (orbax refuses existing destinations)
+        ckptr.save(os.path.abspath(path), flat, force=True)
 
 
 def load_train_state(path: str, cfg: TrainConfig):

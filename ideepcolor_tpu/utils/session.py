@@ -84,7 +84,8 @@ def save_params_orbax(path: str, params: dict) -> None:
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path),
-                   {k: np.asarray(v) for k, v in params.items()})
+                   {k: np.asarray(v) for k, v in params.items()},
+                   force=True)       # overwrite: re-exports must not die
 
 
 def load_params_orbax(path: str) -> dict:

@@ -21,12 +21,26 @@ import sys
 
 REF = "/root/reference"
 
-# held out of training, used for the eval curve (a demo photo, an
-# ImageNet val frame, and a bundled sample — three distinct sources)
-HOLDOUT_NAMES = {"parrot.jpg", "ILSVRC2012_val_00002202.JPEG", "china.jpg"}
+# held out of training, used for the eval curve (an ImageNet val frame
+# from each ref set plus a bundled sample — three distinct sources)
+HOLDOUT_NAMES = {"ILSVRC2012_val_00002202.JPEG",
+                 "ILSVRC2012_val_00049978.JPEG", "china.jpg"}
 
 # single-channel sources are useless as color ground truth
 SKIP_NAMES = {"balls_gray.JPEG", "bird_gray.jpg", "demo.gif"}
+
+# minimum mean chroma (uint8 channel spread) for an image to count as
+# COLOR ground truth: several reference demo inputs (parrot.jpg,
+# park.jpg) are grayscale photos saved as 3-channel JPEGs — training on
+# them teaches gray outputs, and holding them out inflates PSNR
+MIN_CHROMA = 4.0
+
+
+def _is_color(im) -> bool:
+    import numpy as np
+    a = np.asarray(im, np.float32)
+    return float(np.abs(a - a.mean(axis=-1, keepdims=True)).mean()) \
+        >= MIN_CHROMA
 
 
 def gather(out_dir: str) -> tuple[list, list]:
@@ -62,6 +76,9 @@ def gather(out_dir: str) -> tuple[list, list]:
             print(f"skip {name}: {e}", file=sys.stderr)
             continue
         if im.size[0] < 64 or im.size[1] < 64:
+            continue
+        if not _is_color(im):
+            print(f"skip {name}: grayscale source", file=sys.stderr)
             continue
         split = "holdout" if name in HOLDOUT_NAMES else "train"
         dst = f"{out_dir}/{split}/{name.replace('.JPEG', '.jpg')}"
