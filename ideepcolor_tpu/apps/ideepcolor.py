@@ -66,14 +66,18 @@ def build_models(args):
         import jax
         jax.config.update('jax_platforms', 'cpu')
     if args.backend in ('siggraph', 'pytorch'):
+        from ..config import bundled_weights
+        weights = args.color_model or bundled_weights("teacher")
+        if weights and not args.color_model:
+            print(f"using bundled demo weights: {weights}")
         color_model = api.ColorizeImageJax(
             Xd=args.load_size, maskcent=args.pytorch_maskcent)
-        color_model.prep_net(path=args.color_model)
+        color_model.prep_net(path=weights)
         dist_model = None
         if not args.no_dist:
             dist_model = api.ColorizeImageJaxDist(
                 Xd=args.load_size, maskcent=args.pytorch_maskcent)
-            dist_model.prep_net(path=args.dist_model or args.color_model)
+            dist_model.prep_net(path=args.dist_model or weights)
     else:
         color_model = api.ColorizeImageJaxCaffe(Xd=args.load_size)
         color_model.prep_net(

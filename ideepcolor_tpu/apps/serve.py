@@ -808,8 +808,17 @@ def main(argv=None):
                         "auto-batch bucket and /suggest) before "
                         "accepting traffic")
     args = p.parse_args(argv)
-    from ..config import enable_persistent_compile_cache
+    from ..config import bundled_weights, enable_persistent_compile_cache
     enable_persistent_compile_cache()
+    # out-of-box behavior: fall back to the committed on-chip-trained
+    # demo checkpoints (weights/README.md) so an unconfigured server
+    # colorizes instead of running random init
+    if not args.weights and bundled_weights("teacher"):
+        args.weights = bundled_weights("teacher")
+        print(f"using bundled demo weights: {args.weights}")
+    if not args.student_weights and bundled_weights("student_w05"):
+        args.student_weights = bundled_weights("student_w05")
+        print(f"fast tier (bundled student): {args.student_weights}")
     srv = make_server(port=args.port, host=args.host,
                       weights=args.weights, size=args.load_size,
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,

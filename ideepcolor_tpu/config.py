@@ -69,6 +69,17 @@ def make_backend(cfg: ColorizeConfig):
     return m
 
 
+def bundled_weights(name: str = "teacher") -> str:
+    """Path of a committed demo checkpoint (``weights/<name>.npz`` at the
+    repo root — trained on-chip, see weights/README.md) or '' when
+    absent. CLI entry points use these as defaults so the out-of-box
+    GUI/server actually colorizes instead of running random init."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "weights", f"{name}.npz")
+    return p if os.path.exists(p) else ""
+
+
 def enable_persistent_compile_cache(
         path: str = "/root/.cache/ideepcolor_tpu_jax_cache") -> None:
     """Point jax at a persistent compilation cache (saves 15-25 s per
