@@ -365,14 +365,26 @@ def test_prep_net_bfloat16_serving_mode():
 def test_net_forward_fullres_sentinel_on_multi_output_backends():
     """Backends whose click programs don't fit the (rgb, ab) contract must
     return -1 from net_forward_fullres, not crash (serving checks
-    isinstance(result, int))."""
+    isinstance(result, int)). The glob backend has its OWN fused
+    histogram-aware fullres and must return a frame consistent with
+    net_forward + get_img_fullres."""
     ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
-    for cls in (api.ColorizeImageJaxCaffeDist,
-                api.ColorizeImageJaxCaffeGlobDist):
-        m = cls(Xd=64)
-        m.prep_net(None)
-        m.set_image(_rand_image(19, 64, 64))
-        assert m.net_forward_fullres(ab, mask) == -1
+    m = api.ColorizeImageJaxCaffeDist(Xd=64)
+    m.prep_net(None)
+    m.set_image(_rand_image(19, 64, 64))
+    assert m.net_forward_fullres(ab, mask) == -1
+
+    g = api.ColorizeImageJaxCaffeGlobDist(Xd=64)
+    g.prep_net(None)
+    g.set_image(_rand_image(19, 64, 64))
+    hist = np.zeros(313); hist[[3, 80]] = 0.5
+    full = g.net_forward_fullres(ab, mask, hist)
+    assert not np.isscalar(full)
+    g2 = api.ColorizeImageJaxCaffeGlobDist(Xd=64)
+    g2.prep_net(None)
+    g2.set_image(_rand_image(19, 64, 64))
+    g2.net_forward(ab, mask, hist)
+    np.testing.assert_array_equal(full, g2.get_img_fullres())
 
 
 @pytest.mark.parametrize("cls", ["ColorizeImageJaxDist",
