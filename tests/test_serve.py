@@ -737,3 +737,26 @@ def test_malformed_request_barrage_never_wedges_server(server):
     c.request("POST", "/colorize?fullres=0", body=body)
     r = c.getresponse()
     assert r.status == 200 and len(r.read()) > 100
+
+
+def test_soak_control_script(monkeypatch, capsys):
+    """bench.py's CPU-backend soak control (scripts/soak_control.py) runs
+    in-process at size 64: same server + request mix as the TPU soak leg,
+    ending with one parsable JSON line and zero 5xx."""
+    import importlib.util
+    import os
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "soak_control", os.path.join(root, "scripts", "soak_control.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv",
+                        ["soak_control.py", "--secs", "1", "--size", "64"])
+    mod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["cpu_5xx"] == 0
+    assert d["cpu_requests"] >= 1
+    assert "cpu_rss_growth_mb" in d and "cpu_live_array_growth_mb" in d
