@@ -19,13 +19,18 @@ RNG = np.random.default_rng(11)
 
 
 @pytest.fixture(scope="module")
-def server():
+def server_obj():
     srv = serve.make_server(port=0, size=64)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield srv.server_address
+    yield srv
     srv.shutdown()
     srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def server(server_obj):
+    return server_obj.server_address
 
 
 def _conn(addr):
@@ -760,3 +765,140 @@ def test_soak_control_script(monkeypatch, capsys):
     assert d["cpu_5xx"] == 0
     assert d["cpu_requests"] >= 1
     assert "cpu_rss_growth_mb" in d and "cpu_live_array_growth_mb" in d
+
+
+# -- device-lock scheduling (PriorityLock) --
+
+def _spin_until(pred, timeout=5.0):
+    import time
+    t0 = time.monotonic()
+    while not pred():
+        if time.monotonic() - t0 > timeout:
+            raise TimeoutError("condition not reached")
+        time.sleep(0.001)
+
+
+def test_priority_lock_interactive_jumps_bulk():
+    """An interactive waiter that arrives AFTER a bulk waiter is still
+    admitted first (clicks never queue behind full-res jobs)."""
+    lock = serve.PriorityLock()
+    order = []
+
+    def worker(level, tag):
+        lock.acquire(level)
+        order.append(tag)
+        lock.release()
+
+    lock.acquire(0)                      # hold: both waiters must queue
+    tb = threading.Thread(target=worker, args=(1, "bulk"))
+    tb.start()
+    _spin_until(lambda: len(lock._waiters[1]) == 1)
+    ti = threading.Thread(target=worker, args=(0, "interactive"))
+    ti.start()
+    _spin_until(lambda: len(lock._waiters[0]) == 1)
+    lock.release()
+    tb.join(5)
+    ti.join(5)
+    assert order == ["interactive", "bulk"]
+    assert lock.bulk_jumped == 1
+
+
+def test_priority_lock_bulk_antistarvation():
+    """Under a continuous interactive stream, a queued bulk waiter is
+    admitted after at most BULK_BOOST interactive grants."""
+    lock = serve.PriorityLock()
+    order = []
+
+    def worker(level, tag):
+        lock.acquire(level)
+        order.append(tag)
+        lock.release()
+
+    n_inter = serve.PriorityLock.BULK_BOOST + 3
+    lock.acquire(0)
+    tb = threading.Thread(target=worker, args=(1, "bulk"))
+    tb.start()
+    _spin_until(lambda: len(lock._waiters[1]) == 1)
+    threads = [tb]
+    for i in range(n_inter):
+        t = threading.Thread(target=worker, args=(0, f"i{i}"))
+        t.start()
+        _spin_until(lambda k=i: len(lock._waiters[0]) == k + 1)
+        threads.append(t)
+    lock.release()
+    for t in threads:
+        t.join(5)
+    assert len(order) == n_inter + 1
+    # exactly BULK_BOOST interactive grants, then the bulk waiter
+    assert order.index("bulk") == serve.PriorityLock.BULK_BOOST
+    # FIFO preserved within the interactive class
+    inters = [o for o in order if o != "bulk"]
+    assert inters == [f"i{i}" for i in range(n_inter)]
+
+
+def test_priority_lock_plain_mutex_semantics():
+    """With a single class of user it behaves as a mutex (FIFO, exception-
+    safe release via the context manager)."""
+    lock = serve.PriorityLock()
+    with pytest.raises(RuntimeError):
+        with lock:
+            assert lock._held
+            raise RuntimeError("boom")
+    assert not lock._held            # released despite the exception
+    with lock.bulk():
+        assert lock._held
+    assert not lock._held
+
+
+def test_clicks_preempt_queued_fullres(server, server_obj):
+    """Service-level: while one full-res job holds the device and another
+    is queued, a session click that arrives LAST still completes before
+    the queued full-res job."""
+    import time
+    svc = server_obj.RequestHandlerClass.service
+    _img, body = _png_bytes(64, 64)
+    c0 = _conn(server)
+    c0.request("POST", "/session", body=body)
+    sid = json.loads(c0.getresponse().read())["id"]
+    c0.request("POST", f"/session/click?id={sid}",
+               body=b'[{"y":5,"x":5,"ab":[20,-20],"radius":2}]')
+    assert c0.getresponse().status == 200   # warm the click program
+
+    real_fullres = svc.model.net_forward_fullres
+
+    def slow_fullres(*a, **k):
+        time.sleep(0.25)                    # emulate a ~real-size job
+        return real_fullres(*a, **k)
+
+    svc.model.net_forward_fullres = slow_fullres
+    done = {}
+    try:
+        def fullres_job(tag):
+            c = _conn(server)
+            c.request("POST", "/colorize", body=body)
+            assert c.getresponse().status == 200
+            done[tag] = time.monotonic()
+
+        t1 = threading.Thread(target=fullres_job, args=("f1",))
+        t1.start()
+        _spin_until(lambda: svc.lock._held)     # f1 owns the device
+        t2 = threading.Thread(target=fullres_job, args=("f2",))
+        t2.start()
+        _spin_until(lambda: len(svc.lock._waiters[1]) >= 1)
+
+        def click_job():
+            c = _conn(server)
+            c.request("POST", f"/session/click?id={sid}",
+                      body=b'[{"y":9,"x":9,"ab":[20,-20],"radius":2}]')
+            assert c.getresponse().status == 200
+            done["click"] = time.monotonic()
+
+        t3 = threading.Thread(target=click_job)
+        t3.start()
+        for t in (t1, t2, t3):
+            t.join(60)
+        assert done["click"] < done["f2"], (
+            f"click finished at {done['click']:.3f} after queued "
+            f"fullres at {done['f2']:.3f}")
+    finally:
+        svc.model.net_forward_fullres = real_fullres
