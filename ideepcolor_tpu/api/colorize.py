@@ -379,6 +379,20 @@ class ColorizeImageBase:
         The net-res frame stays device-resident in ``output_rgb`` (lazy
         readback via ``get_img_forward``).
         """
+        finish = self.net_forward_fullres_async(input_ab, input_mask)
+        return finish if finish == -1 else finish()
+
+    def net_forward_fullres_async(self, input_ab, input_mask):
+        """Dispatch forward + full-res fusion, start the device->host
+        copy, and return a zero-arg function that blocks for the frame.
+
+        The readback of the full-res frame (MBs over a 7-14 MB/s tunnel)
+        often dominates the job; a serving caller can dispatch under its
+        device lock and block OUTSIDE it, so interactive clicks overlap
+        the copy. The closure is self-contained (device arrays captured),
+        so later model-state mutations (another ``load_image_array``)
+        cannot corrupt an in-flight readback. Returns -1 on the usual
+        sentinel failures (unset image/net)."""
         if not self.img_l_set or not self.net_set:
             return -1
         if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:
@@ -393,7 +407,10 @@ class ColorizeImageBase:
         self._dev_output_ab = out_ab
         self.output_rgb = rgb
         self._set_out_ab_()
-        return np.asarray(full)[:H, :W]
+        # async copy on the FULL padded array (a sliced view would not
+        # reuse it — see the streaming-readback invariant in CLAUDE.md)
+        full.copy_to_host_async()
+        return lambda: np.asarray(full)[:H, :W]
 
     def _dispatch_click(self):
         """Dispatch the backend's dense click program (no readback);
@@ -430,6 +447,17 @@ class ColorizeImageBase:
 
     def get_img_fullres(self):
         return self._fullres_from_ab(self._dev_output_ab)
+
+    def get_img_fullres_async(self):
+        """Dispatch the full-res fusion, start the device->host copy and
+        return a zero-arg function that blocks for the frame (see
+        ``net_forward_fullres_async`` for why callers want this)."""
+        H, W = self._fullres_hw
+        full = P.fullres_fuse_bucketed(
+            self._dev_l_fullres_pad, self._dev_output_ab,
+            self._dev_rh, self._dev_rw)
+        full.copy_to_host_async()
+        return lambda: np.asarray(full)[:H, :W]
 
     def get_input_img_fullres(self):
         return self._fullres_from_ab(
@@ -895,6 +923,14 @@ class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
         then get_img_fullres). Both programs dispatch asynchronously and
         only the full-res frame is read back; the net-res frame stays
         device-resident in ``output_rgb`` (lazy)."""
+        finish = self.net_forward_fullres_async(input_ab, input_mask,
+                                                glob_dist)
+        return finish if finish == -1 else finish()
+
+    def net_forward_fullres_async(self, input_ab, input_mask,
+                                  glob_dist=-1):
+        """Glob variant of the base ``net_forward_fullres_async``:
+        dispatch + async copy under a caller's lock, block outside it."""
         if not self.img_l_set or not self.net_set:
             return -1
         if ColorizeImageBase.net_forward(self, input_ab, input_mask) == -1:
@@ -908,7 +944,8 @@ class ColorizeImageJaxCaffeGlobDist(ColorizeImageJaxCaffe):
         self._dev_output_ab = out_ab
         self.output_rgb = rgb
         self._set_out_ab_()
-        return np.asarray(full)[:H, :W]
+        full.copy_to_host_async()
+        return lambda: np.asarray(full)[:H, :W]
 
     def _make_click(self):
         mm = self.mask_mult

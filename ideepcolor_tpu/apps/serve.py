@@ -359,13 +359,20 @@ class ColorizeService:
             self.requests += 1
             model.load_image_array(rgb)
             if fullres:
-                result = model.net_forward_fullres(ab, mask)
+                finish = model.net_forward_fullres_async(ab, mask)
+                if finish == -1:
+                    raise RuntimeError("forward failed")
             else:
                 # net-res only: plain click program, no full-res fusion
                 # or full-frame readback
                 result = model.net_forward(ab, mask)
-            if isinstance(result, int):
-                raise RuntimeError("forward failed")
+                if isinstance(result, int):
+                    raise RuntimeError("forward failed")
+        if fullres:
+            # block for the frame OUTSIDE the device lock: the dominant
+            # device->host copy of the full-res frame overlaps
+            # interactive clicks instead of serializing behind them
+            result = finish()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -482,8 +489,9 @@ class ColorizeService:
                 result = m.net_forward(ab, mask)
             if isinstance(result, int):
                 raise RuntimeError("forward failed")
-            if fullres:
-                result = m.get_img_fullres()
+            finish = m.get_img_fullres_async() if fullres else None
+        if finish is not None:
+            result = finish()   # full-res readback outside the lock
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -570,12 +578,18 @@ class ColorizeService:
             self._glob.load_image_array(rgb)
             if fullres:
                 # fused forward + full-res: one synchronization point
-                # instead of two full round trips
-                result = self._glob.net_forward_fullres(ab, mask, hist)
+                # instead of two full round trips; frame readback blocks
+                # outside the lock
+                finish = self._glob.net_forward_fullres_async(ab, mask,
+                                                              hist)
+                if finish == -1:
+                    raise RuntimeError("forward failed")
             else:
                 result = self._glob.net_forward(ab, mask, hist)
-            if isinstance(result, int):
-                raise RuntimeError("forward failed")
+                if isinstance(result, int):
+                    raise RuntimeError("forward failed")
+        if fullres:
+            result = finish()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")

@@ -242,6 +242,43 @@ def test_net_forward_fullres_matches_two_step(caffe_model):
     assert d.net_forward_fullres(ab, mask) == -1
 
 
+def test_net_forward_fullres_async_is_self_contained(caffe_model):
+    """The async form returns a closure that (a) yields the same frame
+    as the sync call and (b) survives the model's per-image state being
+    clobbered by a later load (a serving caller blocks on it after
+    releasing its device lock, by which time another request may have
+    loaded a new image)."""
+    m = caffe_model
+    ab = np.zeros((2, 64, 64)); mask = np.zeros((1, 64, 64))
+    ab[:, 10:13, 40:43] = np.array([25.0, 30.0])[:, None, None]
+    mask[:, 10:13, 40:43] = 1
+    img_a = _rand_image(21, 90, 120)
+    m.load_image_array(img_a)
+    want = m.net_forward_fullres(ab, mask)
+    m.load_image_array(img_a)
+    finish = m.net_forward_fullres_async(ab, mask)
+    assert callable(finish)
+    # clobber per-image state (different resolution too) before reading
+    m.load_image_array(_rand_image(22, 70, 60))
+    m.net_forward(ab, mask)
+    got = finish()
+    assert np.array_equal(got, want)
+
+    # fullres getter's async form matches its sync form
+    m.load_image_array(img_a)
+    m.net_forward(ab, mask)
+    want_full = m.get_img_fullres()
+    fin2 = m.get_img_fullres_async()
+    m.load_image_array(_rand_image(23, 50, 80))
+    m.net_forward(ab, mask)
+    assert np.array_equal(fin2(), want_full)
+
+    # sentinel parity: unset image -> -1, not a closure
+    d = api.ColorizeImageJax(Xd=64)
+    d.prep_net(path='')
+    assert d.net_forward_fullres_async(ab, mask) == -1
+
+
 def test_alternate_resolution_xd128():
     """No hidden Xd=256 hardcoding: full API pass at Xd=128 (both model
     families, dist suggestion chain at Xd/4, full-res getters)."""

@@ -864,13 +864,13 @@ def test_clicks_preempt_queued_fullres(server, server_obj):
                body=b'[{"y":5,"x":5,"ab":[20,-20],"radius":2}]')
     assert c0.getresponse().status == 200   # warm the click program
 
-    real_fullres = svc.model.net_forward_fullres
+    real_fullres = svc.model.net_forward_fullres_async
 
     def slow_fullres(*a, **k):
         time.sleep(0.25)                    # emulate a ~real-size job
         return real_fullres(*a, **k)
 
-    svc.model.net_forward_fullres = slow_fullres
+    svc.model.net_forward_fullres_async = slow_fullres
     done = {}
     try:
         def fullres_job(tag):
@@ -901,4 +901,4 @@ def test_clicks_preempt_queued_fullres(server, server_obj):
             f"click finished at {done['click']:.3f} after queued "
             f"fullres at {done['f2']:.3f}")
     finally:
-        svc.model.net_forward_fullres = real_fullres
+        svc.model.net_forward_fullres_async = real_fullres
