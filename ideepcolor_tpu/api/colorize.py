@@ -737,6 +737,15 @@ class ColorizeImageJaxDist(ColorizeImageJax):
 
         self._dist_tbl = dist_tbl
 
+        def dist_fwd(params, l_mc, ab, mask):
+            _reg2, dist_cl = siggraph.apply(params, l_mc[None], ab[None],
+                                            mask[None], mc, dist=True,
+                                            dist_lowres=True)
+            return dist_cl[0]
+
+        self._dist_fwd_tbl = dist_fwd
+        self._suggest_tbl_cache = {}
+
     def predict_dist_table(self, boxes, values, count):
         """GUI fast path for the per-image suggestion forward: hint table
         in (~1.8 KB upload, device rasterize), distribution map set
@@ -758,6 +767,43 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         self.dist_ab_set = True
         self._dist_np = None
         return 0
+
+    def suggest_table(self, boxes, values, count, h, w, K=9, N=25000):
+        """ONE-dispatch serving suggest: hint-table dist forward + CMF
+        sampling + k-means + uint8 palette at pixel (h, w).
+
+        Returns ``(colors_u8 (K,3), conf (K,))`` with a single sync
+        round trip — the unfused chain (``predict_dist_table`` then
+        ``get_ab_reccs`` then the host Lab->RGB of the centers) pays two
+        to three. The distribution map stays device-resident for later
+        ``get_ab_reccs`` / ``compute_entropy``. -1 on unset image/net
+        (reference sentinel convention)."""
+        if not (self.img_l_set and self.net_set):
+            return -1
+        prog = self._suggest_tbl_cache.get((K, N))
+        if prog is None:
+            prog = self._suggest_tbl_cache[(K, N)] = (
+                P.make_table_suggest_program(
+                    self._dist_fwd_tbl, self.Xd, K=K, N=N,
+                    map_div=self.dist_map_div))
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        dist_map, colors, conf = prog(
+            self._dev_l_net, self._dev_l_mc, self.params,
+            jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(values, jnp.float32), jnp.int32(count),
+            jnp.int32(h), jnp.int32(w),
+            jnp.asarray(self.pts_in_hull, jnp.float32), sub)
+        self._dev_dist = dist_map
+        self.dist_ab_set = True
+        self._dist_np = None
+        return np.asarray(colors), np.asarray(conf)
 
     def net_forward(self, input_ab, input_mask):
         out = super().net_forward(input_ab, input_mask)
@@ -998,6 +1044,15 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
 
         self._dist_tbl = dist_tbl
 
+        def dist_fwd(params, l_mc, ab, mask):
+            blob = jnp.concatenate([l_mc[None], ab[None], mask[None] * mm],
+                                   -1)
+            _pred, dist_S = caffe_net.apply_dist(params, blob)
+            return dist_S[0]
+
+        self._dist_fwd_tbl = dist_fwd
+        self._suggest_tbl_cache = {}
+
     def predict_dist_table(self, boxes, values, count):
         """Same fast suggestion-forward contract as
         ColorizeImageJaxDist.predict_dist_table (caffe conventions:
@@ -1086,6 +1141,9 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
 
     plot_dist_grid = ColorizeImageJaxDist.plot_dist_grid
     plot_dist_entropy = ColorizeImageJaxDist.plot_dist_entropy
+    # same fused serving-suggest contract; the program is generic over
+    # the dist forward and map resolution (dist_map_div below)
+    suggest_table = ColorizeImageJaxDist.suggest_table
 
 
 # Drop-in aliases: reference-style code instantiates these names

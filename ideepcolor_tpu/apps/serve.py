@@ -398,13 +398,16 @@ class ColorizeService:
             self._ensure_dist()
             self._dist.load_image_array(rgb)
             if table is not None:
-                # fast path: 1.8 KB table upload, no regression readback
-                self._dist.predict_dist_table(*table)
-            else:
-                ab = np.zeros((2, self.size, self.size), np.float32)
-                mask = np.zeros((1, self.size, self.size), np.float32)
-                put_points_json(ab, mask, hints, self.size)
-                self._dist.net_forward(ab, mask)
+                # fully fused: table dist forward + CMF/k-means + palette
+                # in ONE dispatch (single sync round trip)
+                colors, conf = self._dist.suggest_table(*table, h=h, w=w,
+                                                        K=k)
+                return {"colors": colors.tolist(),
+                        "conf": [float(c) for c in conf]}
+            ab = np.zeros((2, self.size, self.size), np.float32)
+            mask = np.zeros((1, self.size, self.size), np.float32)
+            put_points_json(ab, mask, hints, self.size)
+            self._dist.net_forward(ab, mask)
             centers, conf = self._dist.get_ab_reccs(h=h, w=w, K=k,
                                                     return_conf=True)
             # still under the lock: a concurrent /suggest would reload
@@ -526,10 +529,11 @@ class ColorizeService:
                 # upload bytes in RSS
                 d.load_image_array(m.img_rgb)
                 m._sess_dist = d
-            d.predict_dist_table(*table)
-            centers, conf = d.get_ab_reccs(h=h, w=w, K=k,
-                                           return_conf=True)
-            return self._reccs_to_colors(d, centers, conf, h, w, k)
+            # fused: table dist forward + CMF/k-means + palette, one
+            # dispatch, one sync round trip
+            colors, conf = d.suggest_table(*table, h=h, w=w, K=k)
+            return {"colors": colors.tolist(),
+                    "conf": [float(c) for c in conf]}
 
     def session_close(self, sid: str) -> bool:
         with self.lock:

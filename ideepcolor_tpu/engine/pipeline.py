@@ -260,6 +260,39 @@ def make_table_click_win_suggest_program(apply_fn, size: int, K: int = 9,
     return click
 
 
+def make_table_suggest_program(dist_fwd, size: int, K: int = 9,
+                               N: int = 25000, map_div: int = 4):
+    """Serving suggest: hint-table dist forward + CMF sampling + k-means
+    + uint8 palette conversion in ONE dispatch.
+
+    The unfused serving chain (predict_dist_table -> suggest_at ->
+    Lab->RGB of the K centers) pays two to three sync round trips per
+    request over a tunneled chip; here only the (K,3) palette and (K,)
+    confidences read back. The distribution map is also returned
+    (device-resident, async) so the caller keeps it for later
+    get_ab_reccs / entropy without re-running the forward.
+    dist_fwd(params, l_mc (H,W,1), ab (H,W,2), mask (H,W,1)) ->
+    (H/map_div, W/map_div, Q) distribution map.
+    """
+    from ..ops import kmeans as km
+    from ..ops.hints import rasterize_hints
+
+    @jax.jit
+    def sugg(l_net, l_mc, params, boxes, values, count, h, w,
+             centers_tbl, key):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        dist_map = dist_fwd(params, l_mc, ab, mask)
+        pdf = dist_map[h // map_div, w // map_div, :]
+        centers, conf = km.ab_recommendations(pdf, centers_tbl, key,
+                                              K=K, N=N)
+        L = jnp.full((K, 1), l_net[h, w, 0], jnp.float32)
+        colors = cs.lab_to_rgb_u8(
+            jnp.concatenate([L, centers], axis=1)[:, None, :])[:, 0, :]
+        return dist_map, colors, conf
+
+    return sugg
+
+
 def make_click_program(apply_fn):
     """Build the fused one-dispatch click program for a model family.
 

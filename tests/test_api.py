@@ -453,3 +453,54 @@ def test_predict_dist_table_without_image():
     m.prep_net(None)
     assert m.predict_dist_table(np.zeros((64, 4), np.int32),
                                 np.zeros((64, 2), np.float32), 0) == -1
+
+
+def test_suggest_table_matches_unfused_chain():
+    """The ONE-dispatch serving suggest (suggest_table) must reproduce
+    the unfused chain: predict_dist_table -> get_ab_reccs -> host-L
+    palette conversion (conf exactly, colors within 1 uint8 LSB — the
+    pixel L comes from the device plane instead of the host converter).
+    Covers both dist backends (map_div 4 and 1)."""
+    from ideepcolor_tpu.api.colorize import lab2rgb_transpose
+    from ideepcolor_tpu.ops import host
+    from ideepcolor_tpu.ops import hints as oh
+    for cls in (api.ColorizeImageJaxDist, api.ColorizeImageJaxCaffeDist):
+        m1 = cls(Xd=64)
+        m2 = cls(Xd=64)
+        if cls is api.ColorizeImageJaxDist:
+            m1.prep_net(path='')
+            m2.prep_net(path='')
+        else:
+            m1.prep_net(None)
+            m2.prep_net(None)
+        img = _rand_image(31, 64, 64)
+        m1.set_image(img)
+        m2.set_image(img)
+        boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+        vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+        boxes[0] = [20, 20, 23, 23]
+        vals[0] = [35.0, -25.0]
+        h = w = 33
+        K = 5
+        # unfused serve chain (the pre-fusion serving flow)
+        assert m1.predict_dist_table(boxes, vals, 1) == 0
+        centers, conf1 = m1.get_ab_reccs(h, w, K=K, return_conf=True)
+        L = float(host.rgb2lab(
+            img[h, w][None, None].astype(np.float32) / 255.0)[0, 0, 0])
+        lab = np.concatenate(
+            [np.full((K, 1), L, np.float32),
+             np.asarray(centers, np.float32)], axis=1).T[:, :, None]
+        colors1 = lab2rgb_transpose(lab[:1], lab[1:]).reshape(K, 3)
+        # fused path (same rng seed -> same CMF sample -> same centers)
+        colors2, conf2 = m2.suggest_table(boxes, vals, 1, h, w, K=K)
+        assert colors2.shape == (K, 3) and conf2.shape == (K,)
+        assert np.allclose(conf1, conf2, atol=1e-5)
+        assert np.max(np.abs(colors1.astype(int)
+                             - colors2.astype(int))) <= 1
+        # the distribution map stays device-resident for later use
+        centers3 = m2.get_ab_reccs(h, w, K=K)
+        assert np.asarray(centers3).shape == (K, 2)
+    # sentinel parity
+    fresh = api.ColorizeImageJaxDist(Xd=64)
+    fresh.prep_net(path='')
+    assert fresh.suggest_table(boxes, vals, 1, h, w, K=K) == -1
