@@ -662,6 +662,9 @@ def bench_serve_soak(extras):
                 extras[f"soak_{kind}_p50_ms"] = round(
                     float(np.median(v)) * 1000, 1)
         extras["soak_5xx"] = len(errors)
+        # scheduling evidence: interactive grants that bypassed queued
+        # bulk work under the PriorityLock (clicks preempting fullres)
+        extras["soak_lock_bulk_jumped"] = int(svc.lock.bulk_jumped)
         extras["soak_rss_growth_mb"] = round(rss1 - rss0, 1)
         # Attribute the growth (VERDICT r1 weak + tunnel-leak note in
         # CLAUDE.md): (a) JAX-array liveness is flat -> not an array leak;

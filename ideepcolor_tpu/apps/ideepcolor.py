@@ -57,6 +57,11 @@ def parse_args(argv=None):
                         action='store_true',
                         help='subtract 0.5 from the hint mask (retrained '
                              'checkpoints)')
+    parser.add_argument('--dtype', type=str, default='bfloat16',
+                        help='model precision: bfloat16 (default, the '
+                             'fast MXU mode, ~1-2 uint8 LSB from f32 — '
+                             'same default as apps.serve) or float32 '
+                             'for bit-parity output')
     return parser.parse_args(argv)
 
 
@@ -72,24 +77,26 @@ def build_models(args):
             print(f"using bundled demo weights: {weights}")
         color_model = api.ColorizeImageJax(
             Xd=args.load_size, maskcent=args.pytorch_maskcent)
-        color_model.prep_net(path=weights)
+        color_model.prep_net(path=weights, dtype=args.dtype)
         dist_model = None
         if not args.no_dist:
             dist_model = api.ColorizeImageJaxDist(
                 Xd=args.load_size, maskcent=args.pytorch_maskcent)
-            dist_model.prep_net(path=args.dist_model or weights)
+            dist_model.prep_net(path=args.dist_model or weights,
+                                dtype=args.dtype)
     else:
         color_model = api.ColorizeImageJaxCaffe(Xd=args.load_size)
         color_model.prep_net(
             args.gpu, prototxt_path=args.color_prototxt,
-            caffemodel_path=args.color_caffemodel or args.color_model)
+            caffemodel_path=args.color_caffemodel or args.color_model,
+            dtype=args.dtype)
         dist_model = None
         if not args.no_dist:
             dist_model = api.ColorizeImageJaxCaffeDist(Xd=args.load_size)
             dist_model.prep_net(
                 args.gpu, prototxt_path=args.dist_prototxt,
                 caffemodel_path=args.dist_caffemodel or args.dist_model,
-                S=0.2)
+                S=0.2, dtype=args.dtype)
     return color_model, dist_model
 
 

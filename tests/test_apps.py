@@ -21,8 +21,18 @@ def test_parse_args_defaults():
 
 def test_build_models_siggraph():
     args = app.parse_args(['--load_size', '64', '--no_dist'])
+    assert args.dtype == 'bfloat16'        # fast MXU mode, as in serve
     color_model, dist_model = app.build_models(args)
     assert color_model.net_set and dist_model is None
+    import jax.numpy as jnp
+    leaf = next(iter(color_model.params.values()))
+    assert leaf.dtype == jnp.bfloat16
+
+    args = app.parse_args(['--load_size', '64', '--no_dist',
+                           '--dtype', 'float32'])
+    color_model, _ = app.build_models(args)
+    leaf = next(iter(color_model.params.values()))
+    assert leaf.dtype == jnp.float32       # bit-parity mode
 
 
 def test_build_models_caffe_with_dist():
