@@ -536,11 +536,8 @@ def bench_http_serving(extras):
 
 
 def _rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return float(line.split()[1]) / 1024.0
-    return -1.0
+    from ideepcolor_tpu.utils.soakload import rss_mb
+    return rss_mb()
 
 
 def bench_serve_soak(extras):
@@ -553,6 +550,7 @@ def bench_serve_soak(extras):
     import http.client
     import threading
     from ideepcolor_tpu.apps import serve
+    from ideepcolor_tpu.utils import soakload
     secs = float(os.environ.get("IDEEPCOLOR_SOAK_SECS", "120"))
     img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
     if not os.path.exists(img):
@@ -565,89 +563,31 @@ def bench_serve_soak(extras):
         host, port = srv.server_address
         svc = srv.RequestHandlerClass.service
         svc.warmup()
-        # pre-warm every request class once (compiles excluded from soak)
+        # pre-warm the stateless image paths once (compiles + transport
+        # staging excluded from the soak window)
         c = http.client.HTTPConnection(host, port, timeout=600)
         c.request("POST", "/colorize", body=body)
         c.getresponse().read()
-        c.request("POST", "/session", body=body)
-        sid0 = json.loads(c.getresponse().read())["id"]
-        c.request("POST", f"/session/click?id={sid0}",
-                  body=b'[{"y":99,"x":99,"ab":[20,-20],"radius":3}]')
-        c.getresponse().read()
-        c.request("POST", f"/session/suggest?id={sid0}&h=99&w=99", body=b"[]")
-        c.getresponse().read()
-
-        lat = {"fullres": [], "netres": [], "click": [], "suggest": []}
-        lock = threading.Lock()
-        errors = []
 
         # per-client sessions open BEFORE the RSS/live-array window so the
         # measured growth is steady-state serving, not session setup
-        # (8 sessions hold ~18 MB device state each)
-        conns = []
-        for ci in range(8):
-            cc = http.client.HTTPConnection(host, port, timeout=600)
-            cc.request("POST", "/session", body=body)
-            sid = json.loads(cc.getresponse().read())["id"]
-            cc.request("POST", f"/session/click?id={sid}",
-                       body=b'[{"y":9,"x":9,"ab":[20,-20],"radius":3}]')
-            cc.getresponse().read()
-            # first suggest lazily materializes per-session dist state
-            # (64x64x529 bf16 + planes, ~6 MB) — warm it out of the window
-            cc.request("POST", f"/session/suggest?id={sid}&h=9&w=9",
-                       body=b"[]")
-            cc.getresponse().read()
-            conns.append((cc, sid))
-        stop_at = time.time() + secs
+        # (8 sessions hold ~18 MB device state each; the warm suggest
+        # materializes the lazy per-session dist planes, ~6 MB)
+        conns = [soakload.open_warm_session(host, port, body,
+                                            ("click", "suggest"))
+                 for _ in range(8)]
 
-        def client(ci):
-            cc, sid = conns[ci]
-            i = 0
-            while time.time() < stop_at:
-                kind = ("click", "netres", "click", "suggest", "click",
-                        "fullres")[i % 6]
-                y = 3 + (37 * i + 11 * ci) % 250
-                x = 3 + (53 * i + 7 * ci) % 250
-                try:
-                    t0 = time.perf_counter()
-                    if kind == "fullres":
-                        cc.request("POST", "/colorize", body=body)
-                    elif kind == "netres":
-                        cc.request("POST", "/colorize?fullres=0", body=body)
-                    elif kind == "click":
-                        hints = [{"y": y, "x": x, "ab": [30.0, -40.0],
-                                  "radius": 3}]
-                        cc.request("POST", f"/session/click?id={sid}",
-                                   body=json.dumps(hints).encode())
-                    else:
-                        cc.request("POST",
-                                   f"/session/suggest?id={sid}&h={y}&w={x}",
-                                   body=b"[]")
-                    r = cc.getresponse()
-                    r.read()
-                    dt = time.perf_counter() - t0
-                    with lock:
-                        if r.status >= 500:
-                            errors.append(r.status)
-                        else:
-                            lat[kind].append(dt)
-                except OSError as e:
-                    with lock:
-                        errors.append(599)
-                    print(f"# soak client {ci}: {type(e).__name__}, "
-                          f"reconnecting", file=sys.stderr)
-                    cc = http.client.HTTPConnection(host, port, timeout=600)
-                i += 1
+        def on_reconnect(ci, e):
+            print(f"# soak client {ci}: {type(e).__name__}, reconnecting",
+                  file=sys.stderr)
 
         import jax
         la0 = sum(int(a.nbytes) for a in jax.live_arrays())
         rss0 = _rss_mb()
-        threads = [threading.Thread(target=client, args=(ci,))
-                   for ci in range(8)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        lat, errors = soakload.run_clients(
+            host, port, conns, body, secs,
+            ("click", "netres", "click", "suggest", "click", "fullres"),
+            size=256, on_reconnect=on_reconnect)
         rss1 = _rss_mb()
         la1 = sum(int(a.nbytes) for a in jax.live_arrays())
         all_lat = np.sort(np.concatenate(

@@ -803,6 +803,10 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         self._dev_dist = dist_map
         self.dist_ab_set = True
         self._dist_np = None
+        # the caffe-dist alias of this method also caches a scattered
+        # 529-grid view — invalidate it too (stale reads / AttributeError
+        # when suggest_table is the first dist call otherwise)
+        self._dist_full_np = None
         return np.asarray(colors), np.asarray(conf)
 
     def net_forward(self, input_ab, input_mask):

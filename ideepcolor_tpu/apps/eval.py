@@ -83,6 +83,33 @@ def iter_image_chunks(root, size: int, batch: int, limit: int = 0):
 import functools
 
 
+def _hinted_forward_u8(maskcent: float, half: int):
+    """(params, rgb01 NHWC, key, count) -> rendered uint8 frames.
+
+    The ONE hint-sim + forward + u8 render chain behind both the PSNR
+    step and the contact-sheet render: the sheet is "the visual evidence
+    behind the PSNR curve" only while the two share every semantic
+    (hint half-width, maskcent handling, quantization), so they share
+    the code."""
+    import jax.numpy as jnp
+
+    from ..models import siggraph
+    from ..ops import colorspace
+    from ..train import hints_sim
+
+    def fwd(params, rgb, key, count):
+        lab = colorspace.rgb_to_lab(rgb)
+        l, gt_ab = lab[..., :1], lab[..., 1:]
+        hint_ab, hint_mask = hints_sim.reveal_hints_fixed(
+            key, gt_ab, count, half=half)
+        pred_ab = siggraph.apply(params, l - 50.0, hint_ab, hint_mask,
+                                 maskcent)
+        return colorspace.lab_to_rgb_u8(
+            jnp.concatenate([l, pred_ab], -1))
+
+    return fwd
+
+
 @functools.lru_cache(maxsize=8)
 def make_eval_step(maskcent: float, half: int):
     """(params, rgb01 NHWC, key, count) -> per-image PSNR vector.
@@ -91,20 +118,11 @@ def make_eval_step(maskcent: float, half: int):
     import jax
     import jax.numpy as jnp
 
-    from ..models import siggraph
-    from ..ops import colorspace
-    from ..train import hints_sim
+    fwd = _hinted_forward_u8(maskcent, half)
 
     @jax.jit
     def step(params, rgb, key, count):
-        lab = colorspace.rgb_to_lab(rgb)
-        l, gt_ab = lab[..., :1], lab[..., 1:]
-        hint_ab, hint_mask = hints_sim.reveal_hints_fixed(
-            key, gt_ab, count, half=half)
-        pred_ab = siggraph.apply(params, l - 50.0, hint_ab, hint_mask,
-                                 maskcent)
-        pred_u8 = colorspace.lab_to_rgb_u8(
-            jnp.concatenate([l, pred_ab], -1)).astype(jnp.float32)
+        pred_u8 = fwd(params, rgb, key, count).astype(jnp.float32)
         gt_u8 = jnp.round(jnp.clip(rgb, 0, 1) * 255.0)
         mse = jnp.mean((pred_u8 - gt_u8) ** 2, axis=(1, 2, 3))
         return 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
@@ -159,23 +177,7 @@ def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
 @functools.lru_cache(maxsize=4)
 def _make_render_step(maskcent: float, half: int):
     import jax
-    import jax.numpy as jnp
-
-    from ..models import siggraph
-    from ..ops import colorspace
-    from ..train import hints_sim
-
-    @jax.jit
-    def step(params, rgb, key, count):
-        lab = colorspace.rgb_to_lab(rgb)
-        l, gt_ab = lab[..., :1], lab[..., 1:]
-        hint_ab, hint_mask = hints_sim.reveal_hints_fixed(
-            key, gt_ab, count, half=half)
-        pred_ab = siggraph.apply(params, l - 50.0, hint_ab, hint_mask,
-                                 maskcent)
-        return colorspace.lab_to_rgb_u8(jnp.concatenate([l, pred_ab], -1))
-
-    return step
+    return jax.jit(_hinted_forward_u8(maskcent, half))
 
 
 def save_colorization_grid(params, images, counts, path, maskcent=0.0,

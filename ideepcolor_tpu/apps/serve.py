@@ -372,7 +372,10 @@ class ColorizeService:
             # block for the frame OUTSIDE the device lock: the dominant
             # device->host copy of the full-res frame overlaps
             # interactive clicks instead of serializing behind them
-            result = finish()
+            # (its own stage so /stats still accounts the dominant term;
+            # the in-lock stage above now measures device-hold only)
+            with self.timer.stage("fullres_readback"):
+                result = finish()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -494,7 +497,9 @@ class ColorizeService:
                 raise RuntimeError("forward failed")
             finish = m.get_img_fullres_async() if fullres else None
         if finish is not None:
-            result = finish()   # full-res readback outside the lock
+            # full-res readback outside the lock (stage-timed for /stats)
+            with self.timer.stage("fullres_readback"):
+                result = finish()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")
@@ -593,7 +598,8 @@ class ColorizeService:
                 if isinstance(result, int):
                     raise RuntimeError("forward failed")
         if fullres:
-            result = finish()
+            with self.timer.stage("fullres_readback"):
+                result = finish()
         ok, png = cv2.imencode(".png", result[:, :, ::-1])
         if not ok:
             raise RuntimeError("png encode failed")

@@ -44,6 +44,12 @@ def parse_args(argv=None):
                     help="student channel multiplier for --distill-from")
     ap.add_argument("--teacher-dtype", type=str, default="bfloat16",
                     help="teacher forward precision during distillation")
+    ap.add_argument("--color-jitter", type=str, default="on",
+                    choices=("on", "off"),
+                    help="device-mode hue-rotation/compositing "
+                         "augmentation (host mode has no jitter; pass "
+                         "'off' to make device and host modes train on "
+                         "identical data distributions)")
     ap.add_argument("--data-mode", type=str, default="auto",
                     choices=("auto", "host", "device"),
                     help="device: upload the corpus once and augment "
@@ -121,10 +127,12 @@ def main(argv=None):
                            and corpus_fits_on_device(args.data_dir)))
     if use_device_data:
         loader = DeviceDataset(args.data_dir, batch_size=args.batch,
-                               size=args.size)
+                               size=args.size,
+                               color_jitter=args.color_jitter == "on")
         print(f"device-resident dataset: {loader.n_images} images, "
               f"{loader.bytes_on_device / 1e6:.1f} MB on device "
-              f"(on-device augmentation; steps consume only rng keys)")
+              f"(on-device augmentation, color_jitter="
+              f"{args.color_jitter}; steps consume only rng keys)")
     else:
         loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
                                    size=args.size)

@@ -1,0 +1,104 @@
+"""Shared mixed-traffic soak driver for the serving benchmarks.
+
+bench.py's TPU soak leg and scripts/soak_control.py's CPU-backend
+control leg must issue EXACTLY the same traffic for the RSS A/B
+attribution to be valid (the control exists to pin the TPU leg's RSS
+growth on the axon transport, CLAUDE.md). The request mix, coordinate
+hashing, per-client session warm-up and reconnect handling therefore
+live here once; each leg only chooses its client count, duration, kind
+mix and metric fields.
+"""
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+import time
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def _request(cc, kind: str, sid: str, body: bytes, y: int, x: int):
+    if kind == "fullres":
+        cc.request("POST", "/colorize", body=body)
+    elif kind == "netres":
+        cc.request("POST", "/colorize?fullres=0", body=body)
+    elif kind == "click":
+        hints = [{"y": y, "x": x, "ab": [30.0, -40.0], "radius": 3}]
+        cc.request("POST", f"/session/click?id={sid}",
+                   body=json.dumps(hints).encode())
+    elif kind == "suggest":
+        cc.request("POST", f"/session/suggest?id={sid}&h={y}&w={x}",
+                   body=b"[]")
+    else:
+        raise ValueError(f"unknown request kind {kind!r}")
+
+
+def open_warm_session(host, port, body: bytes, warm_kinds=("click",),
+                      timeout: float = 600):
+    """One connection + interactive session, with a warm pass of each
+    kind in ``warm_kinds`` — first use compiles programs and lazily
+    materializes per-session device state (e.g. the dist planes on the
+    first suggest), which must stay out of the RSS/latency window."""
+    cc = http.client.HTTPConnection(host, port, timeout=timeout)
+    cc.request("POST", "/session", body=body)
+    sid = json.loads(cc.getresponse().read())["id"]
+    for kind in warm_kinds:
+        _request(cc, kind, sid, body, 9, 9)
+        cc.getresponse().read()
+    return cc, sid
+
+
+def run_clients(host, port, conns, body: bytes, secs: float, mix,
+                size: int = 256, timeout: float = 600,
+                on_reconnect=None):
+    """Drive ``len(conns)`` concurrent clients for ``secs`` seconds,
+    each cycling the request-kind ``mix``; coordinates hash over the
+    valid [3, size-4) range. Returns ``({kind: [latency_s]},
+    [error_status])`` — only non-5xx responses record a latency."""
+    lat = {k: [] for k in dict.fromkeys(mix)}
+    errors: list = []
+    lock = threading.Lock()
+    coord_mod = max(size - 6, 1)
+    stop_at = time.time() + secs
+
+    def client(ci):
+        cc, sid = conns[ci]
+        i = 0
+        while time.time() < stop_at:
+            kind = mix[i % len(mix)]
+            y = 3 + (37 * i + 11 * ci) % coord_mod
+            x = 3 + (53 * i + 7 * ci) % coord_mod
+            try:
+                t0 = time.perf_counter()
+                _request(cc, kind, sid, body, y, x)
+                r = cc.getresponse()
+                r.read()
+                dt = time.perf_counter() - t0
+                with lock:
+                    if r.status >= 500:
+                        errors.append(r.status)
+                    else:
+                        lat[kind].append(dt)
+            except OSError as e:
+                with lock:
+                    errors.append(599)
+                if on_reconnect is not None:
+                    on_reconnect(ci, e)
+                cc = http.client.HTTPConnection(host, port,
+                                                timeout=timeout)
+            i += 1
+
+    threads = [threading.Thread(target=client, args=(ci,))
+               for ci in range(len(conns))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return lat, errors

@@ -11,15 +11,17 @@ BASE=https://people.eecs.berkeley.edu/~junyanz/projects/ideepcolor/models
 OUT=${1:-./weights}
 mkdir -p "$OUT/raw"
 
-# One clean diagnostic line on failure (no curl stack spew); exit 1 so
-# callers (and bench) can gate on availability without parsing noise.
+# One clean diagnostic line on failure (no curl stack spew); return 1
+# (NOT exit: `fetch ... || true` marks a model optional, and exit would
+# kill the whole script regardless) — under `set -e` a bare failing
+# fetch still aborts, so mandatory models gate the conversion steps.
 fetch() {
   [ -f "$OUT/raw/$2" ] && return 0
   if ! curl -fsSL --connect-timeout 10 --retry 2 "$BASE/$1" \
        -o "$OUT/raw/$2.part" 2>/dev/null; then
     rm -f "$OUT/raw/$2.part"
     echo "fetch failed: $BASE/$1 (server unreachable from this host)" >&2
-    exit 1
+    return 1
   fi
   mv "$OUT/raw/$2.part" "$OUT/raw/$2"
 }

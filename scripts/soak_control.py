@@ -1,11 +1,18 @@
 """CPU-backend control leg for the serve soak (bench.py bench_serve_soak).
 
-Runs the SAME in-process server and the same request mix as the TPU soak,
-but on the in-process CPU backend — i.e. no axon tunnel transport. The
-tunnel client is known to leak host RSS roughly equal to the bytes it
-uploads (CLAUDE.md); the serving stack itself must not. A flat RSS here,
-next to the growth measured on the TPU leg, pins the growth on the
-transport rather than on the server / session / JAX-array lifecycle.
+Runs the SAME in-process server and the same request mix as the TPU soak
+(via the shared ideepcolor_tpu.utils.soakload driver — one client loop
+for both legs keeps the A/B comparison honest), but on the in-process
+CPU backend — i.e. no axon tunnel transport. The tunnel client is known
+to leak host RSS roughly equal to the bytes it uploads (CLAUDE.md); the
+serving stack itself must not. A flat RSS here, next to the growth
+measured on the TPU leg, pins the growth on the transport rather than on
+the server / session / JAX-array lifecycle.
+
+The mix swaps the TPU leg's "fullres" slot for "netres": full-res
+frames on the CPU backend take seconds each and would reduce the
+request count to a handful, starving the leak signal; the upload-bytes
+profile (the quantity under test) is identical for the two kinds.
 
 Prints one JSON line: {"cpu_rss_growth_mb": ..., "cpu_requests": ...,
 "cpu_live_array_growth_mb": ...}.
@@ -14,17 +21,8 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _rss_mb():
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return float(line.split()[1]) / 1024.0
-    return -1.0
 
 
 def main():
@@ -43,6 +41,7 @@ def main():
     import http.client
     import threading
     from ideepcolor_tpu.apps import serve
+    from ideepcolor_tpu.utils import soakload
 
     body = open(args.image, "rb").read()
     srv = serve.make_server(port=0, size=args.size, auto_batch=16)
@@ -55,89 +54,28 @@ def main():
         c = http.client.HTTPConnection(host, port, timeout=1200)
         c.request("POST", "/colorize?fullres=0", body=body)
         c.getresponse().read()
-        c.request("POST", "/session", body=body)
-        sid0 = json.loads(c.getresponse().read())["id"]
-        c.request("POST", f"/session/click?id={sid0}",
-                  body=b'[{"y":99,"x":99,"ab":[20,-20],"radius":3}]')
-        c.getresponse().read()
-        c.request("POST", f"/session/suggest?id={sid0}&h=99&w=99", body=b"[]")
-        c.getresponse().read()
-
-        counts = [0, 0]
-        errors = []
-        lock = threading.Lock()
 
         # per-client sessions + one warm pass of each kind happen BEFORE
         # the RSS window opens, so steady-state ramp (session device
-        # images, connection buffers) doesn't pollute the leak signal
-        conns = []
-        for ci in range(2):
-            cc = http.client.HTTPConnection(host, port, timeout=1200)
-            cc.request("POST", "/session", body=body)
-            sid = json.loads(cc.getresponse().read())["id"]
-            for kind in ("click", "netres", "suggest"):
-                if kind == "netres":
-                    cc.request("POST", "/colorize?fullres=0", body=body)
-                elif kind == "click":
-                    cc.request("POST", f"/session/click?id={sid}",
-                               body=b'[{"y":9,"x":9,"ab":[20,-20],'
-                                    b'"radius":3}]')
-                else:
-                    cc.request("POST",
-                               f"/session/suggest?id={sid}&h=9&w=9",
-                               body=b"[]")
-                cc.getresponse().read()
-            conns.append((cc, sid))
-
-        stop_at = time.time() + args.secs
-
-        def client(ci):
-            cc, sid = conns[ci]
-            i = 0
-            while time.time() < stop_at:
-                kind = ("click", "netres", "click", "suggest",
-                        "click", "netres")[i % 6]
-                y = 3 + (37 * i + 11 * ci) % 250
-                x = 3 + (53 * i + 7 * ci) % 250
-                try:
-                    if kind == "netres":
-                        cc.request("POST", "/colorize?fullres=0", body=body)
-                    elif kind == "click":
-                        hints = [{"y": y, "x": x, "ab": [30.0, -40.0],
-                                  "radius": 3}]
-                        cc.request("POST", f"/session/click?id={sid}",
-                                   body=json.dumps(hints).encode())
-                    else:
-                        cc.request(
-                            "POST",
-                            f"/session/suggest?id={sid}&h={y}&w={x}",
-                            body=b"[]")
-                    r = cc.getresponse()
-                    r.read()
-                    with lock:
-                        counts[0] += 1
-                        if r.status >= 500:
-                            errors.append(r.status)
-                except OSError:
-                    with lock:
-                        errors.append(599)
-                    cc = http.client.HTTPConnection(host, port, timeout=1200)
-                i += 1
+        # images, connection buffers, lazy dist planes) doesn't pollute
+        # the leak signal
+        conns = [soakload.open_warm_session(
+                     host, port, body, ("click", "netres", "suggest"),
+                     timeout=1200)
+                 for _ in range(2)]
 
         la0 = sum(int(a.nbytes) for a in jax.live_arrays())
-        rss0 = _rss_mb()
-        threads = [threading.Thread(target=client, args=(ci,))
-                   for ci in range(2)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        rss1 = _rss_mb()
+        rss0 = soakload.rss_mb()
+        lat, errors = soakload.run_clients(
+            host, port, conns, body, args.secs,
+            ("click", "netres", "click", "suggest", "click", "netres"),
+            size=args.size, timeout=1200)
+        rss1 = soakload.rss_mb()
         la1 = sum(int(a.nbytes) for a in jax.live_arrays())
         print(json.dumps({
             "cpu_rss_growth_mb": round(rss1 - rss0, 1),
-            "cpu_requests": counts[0],
-            "cpu_5xx": len(errors),
+            "cpu_requests": sum(len(v) for v in lat.values()),
+            "cpu_5xx": len([e for e in errors if e != 599]),
             "cpu_live_array_growth_mb": round((la1 - la0) / 1e6, 2),
         }))
     finally:

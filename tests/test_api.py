@@ -500,6 +500,12 @@ def test_suggest_table_matches_unfused_chain():
         # the distribution map stays device-resident for later use
         centers3 = m2.get_ab_reccs(h, w, K=K)
         assert np.asarray(centers3).shape == (K, 2)
+        if cls is api.ColorizeImageJaxCaffeDist:
+            # the scattered 529-grid cache must reflect the fused
+            # forward (suggest_table as FIRST dist call must not leave
+            # it unset, and it must not serve a stale earlier map)
+            assert np.allclose(m1.dist_ab_full, m2.dist_ab_full,
+                               atol=1e-5)
     # sentinel parity
     fresh = api.ColorizeImageJaxDist(Xd=64)
     fresh.prep_net(path='')

@@ -7,6 +7,13 @@ colorspace math, hint rasterization, model wiring, normalization or the
 output quantization shows up as a golden mismatch.
 
 Regenerate intentionally with:  python tests/test_goldens.py regen
+
+Regen history (each entry must say WHY — the CLAUDE.md golden rule):
+- MAX_HINTS 64->256 (commit 7093ec6) regenerated the three caffe keys
+  with a 1-LSB shift on ~0.02% of pixels: the bigger hint table changes
+  the click program's XLA fusion layout, flipping sub-LSB rounding ties.
+  Semantics unchanged (the table-vs-dense parity test still passes
+  exactly); the shift should have been called out in that commit.
 """
 import os
 
