@@ -119,6 +119,18 @@ class ColorizeImageBase:
         self._lab_fullres_np = None
         self._fullres_hw = None
 
+    def _dev_pts(self):
+        """Device-cached pts_in_hull grid for the suggestion programs.
+
+        The grid never changes after prep; re-uploading the 4 KB array
+        on every suggest costs an extra RPC and accumulates staging RSS
+        on the tunnel transport (CLAUDE.md upload-leak note)."""
+        p = getattr(self, "_dev_pts_in_hull", None)
+        if p is None:
+            p = self._dev_pts_in_hull = jnp.asarray(self.pts_in_hull,
+                                                    jnp.float32)
+        return p
+
     # Full-res Lab numpy mirrors materialize lazily: the device holds the
     # bucket-padded Lab planes (all the fused getters need), and the
     # ~HxWx3 f32 readback only happens if host code actually reads them.
@@ -362,7 +374,7 @@ class ColorizeImageBase:
             self.params, jnp.asarray(boxes, jnp.int32),
             jnp.asarray(values, jnp.float32), jnp.int32(count),
             dist_dev, jnp.int32(h), jnp.int32(w),
-            jnp.asarray(dist_model.pts_in_hull, jnp.float32), prev, sub)
+            dist_model._dev_pts(), prev, sub)
         self._dev_output_ab = out_ab
         self.output_rgb = rgb          # device-resident, lazy readback
         self._set_out_ab_()
@@ -799,7 +811,7 @@ class ColorizeImageJaxDist(ColorizeImageJax):
             jnp.asarray(boxes, jnp.int32),
             jnp.asarray(values, jnp.float32), jnp.int32(count),
             jnp.int32(h), jnp.int32(w),
-            jnp.asarray(self.pts_in_hull, jnp.float32), sub)
+            self._dev_pts(), sub)
         self._dev_dist = dist_map
         self.dist_ab_set = True
         self._dist_np = None
@@ -841,7 +853,7 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         # the device map is at Xd/4; nearest-x4 lookup == (h//4, w//4)
         centers, conf = P.suggest_at(
             self._dev_dist, jnp.int32(h // 4), jnp.int32(w // 4),
-            jnp.asarray(self.pts_in_hull, jnp.float32), sub, K=K, N=N)
+            self._dev_pts(), sub, K=K, N=N)
         centers, conf = np.asarray(centers), np.asarray(conf)
         return (centers, conf) if return_conf else centers
 
@@ -1136,7 +1148,7 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
         self._rng_key, sub = jax.random.split(self._rng_key)
         centers, conf = P.suggest_at(
             self._dev_dist, jnp.int32(h), jnp.int32(w),
-            jnp.asarray(self.pts_in_hull, jnp.float32), sub, K=K, N=N)
+            self._dev_pts(), sub, K=K, N=N)
         centers, conf = np.asarray(centers), np.asarray(conf)
         return (centers, conf) if return_conf else centers
 
