@@ -902,3 +902,46 @@ def test_clicks_preempt_queued_fullres(server, server_obj):
             f"fullres at {done['f2']:.3f}")
     finally:
         svc.model.net_forward_fullres_async = real_fullres
+
+
+def test_priority_lock_fuzz_no_deadlock_no_lost_wakeup():
+    """Liveness fuzz: many threads acquiring at mixed priorities with
+    tiny critical sections must all complete (no deadlock, no lost
+    wakeup), mutual exclusion must hold throughout, and every bulk
+    acquirer must eventually get in (anti-starvation)."""
+    import random
+    import time
+    lock = serve.PriorityLock()
+    rng = random.Random(7)
+    N_THREADS, N_ITERS = 12, 60
+    in_critical = [0]
+    max_seen = [0]
+    done = []
+    lk = threading.Lock()
+
+    def worker(ti):
+        r = random.Random(100 + ti)
+        for _ in range(N_ITERS):
+            level = 1 if r.random() < 0.3 else 0
+            ctx = lock.bulk() if level else lock
+            with ctx:
+                with lk:
+                    in_critical[0] += 1
+                    max_seen[0] = max(max_seen[0], in_critical[0])
+                if r.random() < 0.1:
+                    time.sleep(0.001)
+                with lk:
+                    in_critical[0] -= 1
+        with lk:
+            done.append(ti)
+
+    threads = [threading.Thread(target=worker, args=(ti,))
+               for ti in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert sorted(done) == list(range(N_THREADS)), (
+        f"threads stuck: finished={sorted(done)}")
+    assert max_seen[0] == 1, f"mutual exclusion violated: {max_seen[0]}"
+    assert not lock._held and not lock._waiters[0] and not lock._waiters[1]
