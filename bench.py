@@ -3,7 +3,11 @@
 Headline metric (the JSON line's value): p50 click-to-frame latency at
 256x256 on the local-hints path — the reference's interactive UX number —
 measured through the same public API a GUI click uses, frame readback
-included. vs_baseline compares against the reference's own execution path
+included, at the PRODUCT-DEFAULT precision (bfloat16, the GUI --dtype
+and apps/serve default since round 2; its 1-2 uint8 LSB frame delta vs
+f32 is recorded in bf16_* each run, and the f32 bit-parity path — round
+1's headline — stays recorded as f32_table_click_p50/p95_ms).
+vs_baseline compares against the reference's own execution path
 (SIGGRAPH torch model, CPU) measured on this host.
 
 Extra fields cover the remaining configs: zero-hint auto colorization with
@@ -110,28 +114,36 @@ def bench_click_latency(extras):
     extras["p95_ms"] = round(float(lat[int(len(lat) * 0.95)]), 2)
     extras["dense_path_p50_ms"] = round(float(lat[len(lat) // 2]), 2)
 
-    # the GUI's actual click path: 64-slot hint table, device rasterize
+    # the GUI's actual click path: fixed-slot hint table, device
+    # rasterize. f32 is the bit-parity serving mode (kept as a named
+    # secondary — it was the round-1 headline)
     from ideepcolor_tpu.ops.hints import MAX_HINTS
     boxes = np.zeros((MAX_HINTS, 4), np.int32)
     vals = np.zeros((MAX_HINTS, 2), np.float32)
     boxes[0] = [133, 158, 138, 163]; vals[0] = [23, -69]
     boxes[1] = [98, 158, 102, 162]; vals[1] = [0, 0]
     cm.net_forward_table(boxes, vals, 2)
-    tlat = []
-    for i in range(40):
-        k = 2 + (i % (MAX_HINTS - 2))
-        boxes[k] = [40 + (i % 8) * 20, 60, 44 + (i % 8) * 20, 64]
-        vals[k] = [((i * 7) % 100) - 50, ((i * 13) % 100) - 50]
-        t0 = time.perf_counter()
-        cm.net_forward_table(boxes, vals, k + 1)
-        tlat.append(time.perf_counter() - t0)
-    tlat = np.sort(tlat) * 1000.0
-    extras["table_click_p95_ms"] = round(float(tlat[int(len(tlat) * .95)]),
-                                         2)
 
-    # bfloat16 serving mode (the serve default): latency AND the quality
-    # delta vs f32 on the same frame — the recorded evidence behind
-    # defaulting serving to bf16
+    def click_loop(n=40):
+        lat_ = []
+        for i in range(n):
+            k = 2 + (i % (MAX_HINTS - 2))
+            boxes[k] = [40 + (i % 8) * 20, 60, 44 + (i % 8) * 20, 64]
+            vals[k] = [((i * 7) % 100) - 50, ((i * 13) % 100) - 50]
+            t0 = time.perf_counter()
+            cm.net_forward_table(boxes, vals, k + 1)
+            lat_.append(time.perf_counter() - t0)
+        return np.sort(lat_) * 1000.0
+
+    tlat = click_loop()
+    extras["f32_table_click_p50_ms"] = round(float(tlat[len(tlat) // 2]), 2)
+    extras["f32_table_click_p95_ms"] = round(
+        float(tlat[int(len(tlat) * .95)]), 2)
+
+    # HEADLINE: the same click loop in bfloat16 — the PRODUCT DEFAULT
+    # precision of both the GUI (--dtype bfloat16) and apps/serve since
+    # round 2 — with the frame-quality delta vs f32 recorded alongside
+    # (the evidence behind defaulting to the fast MXU mode)
     import jax.numpy as jnp
     f32_params = cm.params
     f32_frame = np.asarray(cm.net_forward_table(boxes, vals, 8))
@@ -143,15 +155,29 @@ def bench_click_latency(extras):
     mse = float(np.mean(d.astype(np.float64) ** 2))
     extras["bf16_vs_f32_psnr_db"] = round(
         20 * np.log10(255.0 / np.sqrt(max(mse, 1e-9))), 1)
-    blat = []
-    for i in range(20):
-        t0 = time.perf_counter()
-        cm.net_forward_table(boxes, vals, 3 + (i % 4))
-        blat.append(time.perf_counter() - t0)
-    extras["bf16_table_click_p50_ms"] = round(
-        float(np.sort(blat)[10] * 1000.0), 2)
+    cm.net_forward_table(boxes, vals, 2)     # warm the bf16 program
+    blat = click_loop()
+    extras["headline_dtype"] = "bfloat16"
+    extras["p95_ms"] = round(float(blat[int(len(blat) * .95)]), 2)
     cm.params = f32_params
-    return float(tlat[len(tlat) // 2]), cm
+
+    # transport floor control for tail attribution: dispatch + 8-byte
+    # readback of a trivial program over the same link — if its p95/p50
+    # spread matches the click loop's, the tail is RPC jitter, not the
+    # framework's
+    import jax
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((2,), jnp.float32)
+    _sync(tiny(z))
+    flat = []
+    for _ in range(40):
+        t0 = time.perf_counter()
+        _sync(tiny(z))
+        flat.append(time.perf_counter() - t0)
+    flat = np.sort(flat) * 1000.0
+    extras["rpc_floor_p50_ms"] = round(float(flat[20]), 2)
+    extras["rpc_floor_p95_ms"] = round(float(flat[38]), 2)
+    return float(blat[len(blat) // 2]), cm
 
 
 def bench_throughput(cm, extras):
@@ -325,15 +351,21 @@ def bench_trained_quality(extras):
 
     # deterministic holdout set (never trained on): built by
     # scripts/build_offline_corpus.py from reference + bundled samples
+    import importlib.util
     import subprocess
     corpus = "/tmp/bench_corpus"
-    if not os.path.isdir(os.path.join(corpus, "holdout")):
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "build_offline_corpus.py"), corpus],
-            capture_output=True, text=True)
-        if r.returncode != 0:
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "build_offline_corpus.py")
+    spec = importlib.util.spec_from_file_location("corpus_script", script)
+    corpus_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(corpus_mod)
+    # manifest-gated: a partial build (crash between makedirs and the
+    # copies) or one from an older script version must rebuild, not be
+    # silently reused
+    if not corpus_mod.manifest_is_current(corpus):
+        r = subprocess.run([sys.executable, script, corpus],
+                           capture_output=True, text=True)
+        if r.returncode != 0 or not corpus_mod.manifest_is_current(corpus):
             print(f"# corpus build failed: {r.stderr.strip()[:160]}",
                   file=sys.stderr)
             return
@@ -601,7 +633,13 @@ def bench_serve_soak(extras):
             if v:
                 extras[f"soak_{kind}_p50_ms"] = round(
                     float(np.median(v)) * 1000, 1)
-        extras["soak_5xx"] = len(errors)
+        # 599 is the CLIENT-side reconnect sentinel (soakload.run_clients
+        # on OSError), not a server error — count it separately so the
+        # A/B against the CPU control leg (which filters 599 the same
+        # way, scripts/soak_control.py) compares like with like
+        extras["soak_5xx"] = sum(1 for e in errors if e != 599)
+        extras["soak_client_reconnects"] = sum(
+            1 for e in errors if e == 599)
         # scheduling evidence: interactive grants that bypassed queued
         # bulk work under the PriorityLock (clicks preempting fullres)
         extras["soak_lock_bulk_jumped"] = int(svc.lock.bulk_jumped)
@@ -712,7 +750,8 @@ def main():
     baseline_ms = measure_baseline_torch_cpu()
     print(json.dumps({
         "metric": "p50 click-to-frame latency @256 local-hints (SIGGRAPH "
-                  "fwd + frame compose + readback)",
+                  "fwd + frame compose + readback; product-default bf16 "
+                  "serving mode, f32 parity path in f32_table_click_*)",
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2),

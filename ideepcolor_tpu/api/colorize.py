@@ -780,6 +780,64 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         self._dist_np = None
         return 0
 
+    # Bounds for client-controllable suggestion parameters: each distinct
+    # (K, N) compiles a FULL fused dist-forward program (~15-25 s cold on
+    # TPU), so the values must be validated and the program cache bounded
+    # — an unchecked ?k= sweep would otherwise force unbounded compiles.
+    MAX_SUGGEST_K = 25
+    MAX_SUGGEST_N = 100_000
+    _SUGGEST_CACHE_MAX = 8
+
+    def ensure_suggest_program(self, K=9, N=25000, compile_now=False):
+        """Validated, bounded access to the fused suggest-program cache.
+
+        Raises ValueError on out-of-range K/N (serve maps it to HTTP
+        400). The cache holds at most ``_SUGGEST_CACHE_MAX`` programs
+        (FIFO eviction). With ``compile_now=True`` the program is traced
+        and XLA-compiled from shape structs immediately — no dispatch —
+        so a server can compile a novel (K, N) OUTSIDE its device lock
+        instead of stalling interactive traffic behind a full-model
+        compile. Returns the cache entry dict."""
+        K, N = int(K), int(N)
+        if not 1 <= K <= self.MAX_SUGGEST_K:
+            raise ValueError(
+                f"k must be in [1, {self.MAX_SUGGEST_K}], got {K}")
+        if not 1000 <= N <= self.MAX_SUGGEST_N:
+            raise ValueError(
+                f"N must be in [1000, {self.MAX_SUGGEST_N}], got {N}")
+        entry = self._suggest_tbl_cache.get((K, N))
+        if entry is None:
+            while len(self._suggest_tbl_cache) >= self._SUGGEST_CACHE_MAX:
+                self._suggest_tbl_cache.pop(
+                    next(iter(self._suggest_tbl_cache)))
+            entry = self._suggest_tbl_cache[(K, N)] = {
+                "jit": P.make_table_suggest_program(
+                    self._dist_fwd_tbl, self.Xd, K=K, N=N,
+                    map_div=self.dist_map_div)}
+        if compile_now and "compiled" not in entry:
+            entry["compiled"] = self._aot_compile_suggest(entry["jit"])
+        return entry
+
+    def _aot_compile_suggest(self, prog):
+        """AOT-compile a suggest program from ShapeDtypeStructs (trace +
+        compile only, no device dispatch). Returns the compiled callable,
+        or None when AOT isn't available — it is an optimization, never a
+        correctness dependency (suggest_table falls back to the jit)."""
+        from ..ops.hints import MAX_HINTS
+        S = jax.ShapeDtypeStruct
+        f32, i32 = jnp.float32, jnp.int32
+        sds = lambda v: S(v.shape, v.dtype)          # noqa: E731
+        plane = S((self.Xd, self.Xd, 1), f32)
+        try:
+            args = (plane, plane,
+                    jax.tree.map(sds, self.params),
+                    S((MAX_HINTS, 4), i32), S((MAX_HINTS, 2), f32),
+                    S((), i32), S((), i32), S((), i32),
+                    sds(self._dev_pts()), jax.random.key(0))
+            return prog.lower(*args).compile()
+        except Exception:
+            return None
+
     def suggest_table(self, boxes, values, count, h, w, K=9, N=25000):
         """ONE-dispatch serving suggest: hint-table dist forward + CMF
         sampling + k-means + uint8 palette at pixel (h, w).
@@ -792,12 +850,8 @@ class ColorizeImageJaxDist(ColorizeImageJax):
         (reference sentinel convention)."""
         if not (self.img_l_set and self.net_set):
             return -1
-        prog = self._suggest_tbl_cache.get((K, N))
-        if prog is None:
-            prog = self._suggest_tbl_cache[(K, N)] = (
-                P.make_table_suggest_program(
-                    self._dist_fwd_tbl, self.Xd, K=K, N=N,
-                    map_div=self.dist_map_div))
+        entry = self.ensure_suggest_program(K, N)
+        prog = entry.get("compiled") or entry["jit"]
         from ..ops import host
         ab_np, mask_np = host.rasterize_hints(
             np.asarray(boxes), np.asarray(values), int(count), self.Xd)
@@ -806,12 +860,20 @@ class ColorizeImageJaxDist(ColorizeImageJax):
                 mask_np.transpose(2, 0, 1)) == -1:
             return -1
         self._rng_key, sub = jax.random.split(self._rng_key)
-        dist_map, colors, conf = prog(
-            self._dev_l_net, self._dev_l_mc, self.params,
-            jnp.asarray(boxes, jnp.int32),
-            jnp.asarray(values, jnp.float32), jnp.int32(count),
-            jnp.int32(h), jnp.int32(w),
-            self._dev_pts(), sub)
+        args = (self._dev_l_net, self._dev_l_mc, self.params,
+                jnp.asarray(boxes, jnp.int32),
+                jnp.asarray(values, jnp.float32), jnp.int32(count),
+                jnp.int32(h), jnp.int32(w),
+                self._dev_pts(), sub)
+        try:
+            dist_map, colors, conf = prog(*args)
+        except TypeError:
+            # AOT executable signature mismatch (e.g. weak-type drift):
+            # drop it and take the always-correct jit path
+            if prog is entry["jit"]:
+                raise
+            entry.pop("compiled", None)
+            dist_map, colors, conf = entry["jit"](*args)
         self._dev_dist = dist_map
         self.dist_ab_set = True
         self._dist_np = None
@@ -1160,6 +1222,11 @@ class ColorizeImageJaxCaffeDist(ColorizeImageJaxCaffe):
     # same fused serving-suggest contract; the program is generic over
     # the dist forward and map resolution (dist_map_div below)
     suggest_table = ColorizeImageJaxDist.suggest_table
+    MAX_SUGGEST_K = ColorizeImageJaxDist.MAX_SUGGEST_K
+    MAX_SUGGEST_N = ColorizeImageJaxDist.MAX_SUGGEST_N
+    _SUGGEST_CACHE_MAX = ColorizeImageJaxDist._SUGGEST_CACHE_MAX
+    ensure_suggest_program = ColorizeImageJaxDist.ensure_suggest_program
+    _aot_compile_suggest = ColorizeImageJaxDist._aot_compile_suggest
 
 
 # Drop-in aliases: reference-style code instantiates these names

@@ -181,19 +181,37 @@ def _make_render_step(maskcent: float, half: int):
 
 
 def save_colorization_grid(params, images, counts, path, maskcent=0.0,
-                           half=2, seed=0):
+                           half=2, seed=0, batch=8):
     """Contact sheet: row per image, column per hint count + ground
-    truth last (the visual evidence behind the PSNR curve)."""
+    truth last (the visual evidence behind the PSNR curve).
+
+    Renders in ``batch``-image chunks (padded tail) like ``evaluate`` —
+    one program compile, and a large eval dir never exceeds the compile
+    service's ~1 GB argument-buffer limit (CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..utils.visualize import grid_vis
     step = _make_render_step(maskcent, half)
-    dev = jnp.asarray(images)
-    key = jax.random.key(seed)
-    cols = [np.asarray(step(params, dev, key, jnp.int32(k)))
-            for k in counts]
+    images = np.asarray(images)
+    cols = []
+    for k in counts:
+        outs = []
+        for ci, i in enumerate(range(0, len(images), batch)):
+            chunk = images[i:i + batch]
+            n = len(chunk)
+            if n < batch:           # pad to the compiled batch shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch - n, *chunk.shape[1:]),
+                                     chunk.dtype)])
+            # per-chunk key mirrors evaluate(): every count sees the
+            # same hint locations for a given image
+            key = jax.random.key(seed + ci * batch)
+            outs.append(np.asarray(
+                step(params, jnp.asarray(chunk), key,
+                     jnp.int32(k)))[:n])
+        cols.append(np.concatenate(outs))
     cols.append(np.round(np.clip(images, 0, 1) * 255).astype(np.uint8))
     tiles = np.stack([col[i] for i in range(len(images))
                       for col in cols])

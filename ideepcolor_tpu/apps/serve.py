@@ -301,6 +301,7 @@ class ColorizeService:
         self._maskcent = maskcent
         self._dtype = dtype
         self._dist = None            # built lazily on first /suggest
+        self._dist_init_lock = threading.Lock()
         self._glob = None            # built lazily on first /colorize_global
         self._sessions: dict = {}    # interactive sessions, LRU order
         self._glob_weights = glob_weights   # the glob graph is a separate
@@ -396,15 +397,25 @@ class ColorizeService:
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         from ..ops.hints import points_json_to_table
         table = points_json_to_table(hints, self.size)  # validates; None
+        dist = self._ensure_dist()
+        if not 1 <= k <= dist.MAX_SUGGEST_K:     # client-controlled -> 400
+            raise ValueError(
+                f"k must be in [1, {dist.MAX_SUGGEST_K}], got {k}")
+        if table is not None:
+            # a novel (k, N) means a full-model XLA compile — do it HERE,
+            # outside the device lock, so it never stalls queued clicks
+            dist.ensure_suggest_program(K=k, compile_now=True)
         with self.lock, self.timer.stage("suggest"):    # on overflow
             self.requests += 1
-            self._ensure_dist()
             self._dist.load_image_array(rgb)
             if table is not None:
                 # fully fused: table dist forward + CMF/k-means + palette
                 # in ONE dispatch (single sync round trip)
-                colors, conf = self._dist.suggest_table(*table, h=h, w=w,
-                                                        K=k)
+                res = self._dist.suggest_table(*table, h=h, w=w, K=k)
+                if isinstance(res, int):         # -1 sentinel, not a tuple
+                    raise RuntimeError("suggest forward failed "
+                                       "(image or net unset)")
+                colors, conf = res
                 return {"colors": colors.tolist(),
                         "conf": [float(c) for c in conf]}
             ab = np.zeros((2, self.size, self.size), np.float32)
@@ -419,14 +430,19 @@ class ColorizeService:
                                          h, w, k)
 
     def _ensure_dist(self):
-        if self._dist is None:
-            from .. import api
-            d = api.ColorizeImageJaxDist(Xd=self.size,
-                                         maskcent=self._maskcent)
-            # assign only after a successful prep (a bad weights path
-            # must not wedge the endpoint; cf. the glob model)
-            d.prep_net(path=self._weights, dtype=self._dtype)
-            self._dist = d
+        # own lock (not the device lock): suggest handlers build the dist
+        # model and AOT-compile novel k programs BEFORE queueing on the
+        # device, so a compile never stalls interactive traffic
+        with self._dist_init_lock:
+            if self._dist is None:
+                from .. import api
+                d = api.ColorizeImageJaxDist(Xd=self.size,
+                                             maskcent=self._maskcent)
+                # assign only after a successful prep (a bad weights path
+                # must not wedge the endpoint; cf. the glob model)
+                d.prep_net(path=self._weights, dtype=self._dtype)
+                self._dist = d
+        return self._dist
 
     def _reccs_to_colors(self, d, centers, conf, h, w, k) -> dict:
         # pixel L via the native host converter (no device readback);
@@ -518,13 +534,16 @@ class ColorizeService:
         table = points_json_to_table(hints, self.size)
         if table is None:
             raise ValueError("too many hints for the suggestion table")
+        # validate k and compile a novel (k, N) program BEFORE taking the
+        # device lock (session dist copies share the service dist model's
+        # program cache via copy.copy, so ensuring here covers them all)
+        self._ensure_dist().ensure_suggest_program(K=k, compile_now=True)
         with self.lock, self.timer.stage("session_suggest"):
             self.requests += 1
             m = self._sessions.pop(sid, None)   # lookup under the lock
             if m is None:
                 raise LookupError(f"unknown session {sid!r}")
             self._sessions[sid] = m                         # LRU touch
-            self._ensure_dist()
             d = getattr(m, "_sess_dist", None)
             if d is None:
                 d = copy.copy(self._dist)
@@ -536,7 +555,11 @@ class ColorizeService:
                 m._sess_dist = d
             # fused: table dist forward + CMF/k-means + palette, one
             # dispatch, one sync round trip
-            colors, conf = d.suggest_table(*table, h=h, w=w, K=k)
+            res = d.suggest_table(*table, h=h, w=w, K=k)
+            if isinstance(res, int):             # -1 sentinel, not a tuple
+                raise RuntimeError("suggest forward failed "
+                                   "(image or net unset)")
+            colors, conf = res
             return {"colors": colors.tolist(),
                     "conf": [float(c) for c in conf]}
 

@@ -112,9 +112,49 @@ def gather(out_dir: str) -> tuple[list, list]:
     return train, holdout
 
 
+def script_version() -> str:
+    """Content hash of this script — the corpus manifest records it so
+    consumers rebuild when the gathering rules change."""
+    import hashlib
+    with open(os.path.abspath(__file__), "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:12]
+
+
+def write_manifest(out_dir: str, train: list, holdout: list) -> None:
+    """Written LAST (and atomically): its presence certifies a complete
+    build. A crashed or older-version build leaves no/stale manifest, so
+    consumers (bench.py) know to rebuild instead of silently reusing a
+    partial corpus."""
+    import json
+    m = {"version": script_version(), "train": len(train),
+         "holdout": sorted(os.path.basename(p) for p in holdout)}
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, f"{out_dir}/manifest.json")
+
+
+def manifest_is_current(out_dir: str) -> bool:
+    """True when out_dir holds a complete corpus built by THIS version of
+    the script and the listed holdout files all exist."""
+    import json
+    try:
+        with open(f"{out_dir}/manifest.json") as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return (m.get("version") == script_version()
+            and m.get("train", 0) > 0
+            and bool(m.get("holdout"))
+            and all(os.path.exists(f"{out_dir}/holdout/{n}")
+                    for n in m["holdout"]))
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/corpus"
     train, holdout = gather(out_dir)
+    if train and holdout:
+        write_manifest(out_dir, train, holdout)
     print(f"{out_dir}: {len(train)} train / {len(holdout)} holdout")
     for p in holdout:
         print(f"  holdout: {os.path.basename(p)}")

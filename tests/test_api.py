@@ -510,3 +510,44 @@ def test_suggest_table_matches_unfused_chain():
     fresh = api.ColorizeImageJaxDist(Xd=64)
     fresh.prep_net(path='')
     assert fresh.suggest_table(boxes, vals, 1, h, w, K=K) == -1
+
+
+def test_suggest_program_cache_validated_and_bounded():
+    """Each distinct (K, N) suggest program is a FULL dist-forward
+    compile, and serve exposes k to clients — so out-of-range values
+    must raise (serve maps to HTTP 400), the cache must stay bounded
+    under a k sweep, and the AOT-compiled path (built outside a
+    server's device lock) must agree with the jit path."""
+    import pytest
+    from ideepcolor_tpu.ops import hints as oh
+    m = api.ColorizeImageJaxDist(Xd=64)
+    m.prep_net(path='')
+    for bad_k in (0, -3, m.MAX_SUGGEST_K + 1, 10**6):
+        with pytest.raises(ValueError):
+            m.ensure_suggest_program(K=bad_k)
+    for bad_n in (0, 999, m.MAX_SUGGEST_N + 1):
+        with pytest.raises(ValueError):
+            m.ensure_suggest_program(K=5, N=bad_n)
+    # bounded under a sweep (program BUILD only — nothing compiles
+    # until dispatch, so this is cheap)
+    for k in range(1, m._SUGGEST_CACHE_MAX + 5):
+        m.ensure_suggest_program(K=k)
+    assert len(m._suggest_tbl_cache) == m._SUGGEST_CACHE_MAX
+
+    # AOT path: compile_now populates the entry without any dispatch,
+    # and the compiled executable returns the same palette as the jit
+    m.set_image(_rand_image(7, 64, 64))
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [10, 10, 13, 13]
+    vals[0] = [20.0, 30.0]
+    entry = m.ensure_suggest_program(K=4, compile_now=True)
+    colors_aot, conf_aot = m.suggest_table(boxes, vals, 1, 22, 22, K=4)
+    m2 = api.ColorizeImageJaxDist(Xd=64)
+    m2.prep_net(path='')
+    m2.set_image(_rand_image(7, 64, 64))
+    m2.ensure_suggest_program(K=4)       # jit-only entry
+    colors_jit, conf_jit = m2.suggest_table(boxes, vals, 1, 22, 22, K=4)
+    if entry.get("compiled") is not None:      # AOT supported here
+        assert np.array_equal(colors_aot, colors_jit)
+        assert np.allclose(conf_aot, conf_jit, atol=1e-6)

@@ -104,3 +104,38 @@ def test_convert_torch_pth_to_orbax_and_load(tmp_path):
     m.set_image((rng.random((32, 32, 3)) * 255).astype(np.uint8))
     out = m.net_forward(np.zeros((2, 32, 32)), np.zeros((1, 32, 32)))
     assert out.shape == (32, 32, 3)
+
+
+def test_corpus_manifest_gates_staleness(tmp_path, monkeypatch):
+    """The corpus build writes a manifest LAST; manifest_is_current must
+    reject a partial build (no manifest), a stale script version, and a
+    corpus whose holdout files vanished — the staleness class bench.py's
+    eval leg gates on (a silently reused partial corpus would skip or
+    mis-report eval_auc_db)."""
+    import json
+    spec = importlib.util.spec_from_file_location(
+        "corpus_script", os.path.join(REPO, "scripts",
+                                      "build_offline_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "corpus")
+    # partial build: directories exist but no manifest
+    os.makedirs(f"{out}/holdout", exist_ok=True)
+    assert not mod.manifest_is_current(out)
+    monkeypatch.setattr(sys, "argv", ["build_offline_corpus.py", out])
+    assert mod.main() == 0
+    assert mod.manifest_is_current(out)
+    # stale script version
+    with open(f"{out}/manifest.json") as f:
+        m = json.load(f)
+    m["version"] = "0" * 12
+    with open(f"{out}/manifest.json", "w") as f:
+        json.dump(m, f)
+    assert not mod.manifest_is_current(out)
+    # missing holdout file
+    monkeypatch.setattr(sys, "argv", ["build_offline_corpus.py", out])
+    assert mod.main() == 0
+    assert mod.manifest_is_current(out)
+    victim = os.listdir(f"{out}/holdout")[0]
+    os.remove(f"{out}/holdout/{victim}")
+    assert not mod.manifest_is_current(out)

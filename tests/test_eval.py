@@ -125,3 +125,24 @@ def test_curve_auc():
     assert curve_auc({0: 20.0, 10: 30.0}) == pytest.approx(25.0)
     assert curve_auc({0: 20.0, 5: 25.0, 10: 30.0}) == pytest.approx(25.0)
     assert curve_auc({3: 20.0}) is None
+
+
+def test_save_grid_chunks_match_single_batch(tmp_path):
+    """save_colorization_grid renders in padded chunks (compile-service
+    1 GB argument limit, CLAUDE.md); at count=0 (no hint randomness) the
+    rendered tiles must be identical whatever the chunking."""
+    from PIL import Image
+
+    from ideepcolor_tpu.apps.eval import save_colorization_grid
+    from ideepcolor_tpu.models import siggraph
+    rng = np.random.default_rng(3)
+    params = siggraph.init_params(jax.random.key(0), width=0.25)
+    images = rng.random((5, 32, 32, 3)).astype(np.float32)
+    p1 = save_colorization_grid(params, images, (0,),
+                                str(tmp_path / "a.png"), batch=2)
+    p2 = save_colorization_grid(params, images, (0,),
+                                str(tmp_path / "b.png"), batch=8)
+    a = np.asarray(Image.open(p1))
+    b = np.asarray(Image.open(p2))
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)

@@ -219,7 +219,17 @@ def test_suggest_endpoint(server):
     assert all(b <= a + 1e-6 for a, b in zip(out["conf"], out["conf"][1:]))
     # out-of-range pixel -> 400
     c.request("POST", "/suggest?h=999&w=0", body=body)
-    assert c.getresponse().status == 400
+    r = c.getresponse()
+    r.read()                   # drain: keep-alive reuses this connection
+    assert r.status == 400
+    # client-controlled k is validated BEFORE any program build: each
+    # distinct k is a full-model XLA compile, so a ?k= sweep must 400
+    # out of range instead of compiling unboundedly
+    for bad in (0, -1, 26, 100000):
+        c.request("POST", f"/suggest?h=32&w=32&k={bad}", body=body)
+        r = c.getresponse()
+        r.read()               # drain: keep-alive reuses this connection
+        assert r.status == 400, f"k={bad}"
 
 
 @pytest.fixture(scope="module")
@@ -616,6 +626,12 @@ def test_session_suggest(server):
               headers={"X-Hints": json.dumps(hints)})
     want = json.loads(c.getresponse().read())
     assert got == want
+    # out-of-range k -> 400 (validated pre-lock, before any build)
+    c.request("POST", f"/session/suggest?id={sid}&h=32&w=32&k=0",
+              body=b"[]")
+    r = c.getresponse()
+    r.read()                   # drain: keep-alive reuses this connection
+    assert r.status == 400
     # unknown session -> 404
     c.request("POST", "/session/suggest?id=nope&h=1&w=1",
               body=b"[]")
