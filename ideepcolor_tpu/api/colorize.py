@@ -656,7 +656,9 @@ class ColorizeImageJax(ColorizeImageBase):
     def prep_net(self, gpu_id=None, path='', dist=False, dtype=None,
                  width=1.0):
         """dtype: optional serving precision for the weights (e.g.
-        'bfloat16' — the fast MXU mode, ~1-2 uint8 LSB from f32; int8 was
+        'bfloat16' — the fast MXU mode (frame delta vs f32 is tiny —
+        ~56 dB PSNR, worst pixels within a few uint8 LSB; bench records
+        the exact per-run delta); int8 was
         measured slower than bf16 on v5e, see docs/ROADMAP.md).
         width: channel multiplier for a random-init reduced-FLOP student
         (train/distill.py); checkpoints carry their width implicitly."""

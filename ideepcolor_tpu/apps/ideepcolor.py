@@ -59,7 +59,7 @@ def parse_args(argv=None):
                              'checkpoints)')
     parser.add_argument('--dtype', type=str, default='bfloat16',
                         help='model precision: bfloat16 (default, the '
-                             'fast MXU mode, ~1-2 uint8 LSB from f32 — '
+                             'fast MXU mode, ~56 dB PSNR vs f32 frames — '
                              'same default as apps.serve) or float32 '
                              'for bit-parity output')
     return parser.parse_args(argv)

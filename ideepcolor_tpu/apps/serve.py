@@ -282,8 +282,9 @@ class ColorizeService:
                  dtype: str | None = "bfloat16", auto_batch: int = 0,
                  glob_weights: str = '', student_weights: str = ''):
         """dtype: serving precision, DEFAULT bfloat16 — the fast MXU mode,
-        measured 1-2 uint8 LSB from f32 frames (bench records the exact
-        LSB/PSNR delta per run); pass 'float32' for bit-parity serving."""
+        frame delta vs f32 is tiny (~56 dB PSNR, worst pixels within a few
+        uint8 LSB; bench records the exact per-run delta); pass
+        'float32' for bit-parity serving."""
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
@@ -918,7 +919,7 @@ def main(argv=None):
                    help="shard /colorize_batch over all local devices")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    help="serving precision (default bfloat16, the fast "
-                        "MXU mode, 1-2 uint8 LSB from f32 — bench "
+                        "MXU mode, ~56 dB PSNR vs f32 frames — bench "
                         "records the delta; pass float32 for bit-parity "
                         "serving)")
     p.add_argument("--auto-batch", type=int, default=0,
