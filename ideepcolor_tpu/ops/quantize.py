@@ -47,6 +47,13 @@ def soft_encode(ab: jax.Array, centers: jax.Array | None = None,
         enc = jax.nn.one_hot(jnp.argmin(d2, axis=1), K, dtype=jnp.float32)
     else:
         neg_d2, inds = jax.lax.top_k(-d2, nn)
+        # Softmax-style stabilization: subtract the max (the exp rescale
+        # cancels in the normalization, so values are mathematically
+        # unchanged) — without it, points far from the hull underflow
+        # every f32 exp to 0 and normalize to NaN (found by
+        # tests/test_properties.py; the reference computes in f64 where
+        # the same inputs merely underflow later).
+        neg_d2 = neg_d2 - neg_d2[:, :1]
         wts = jnp.exp(neg_d2 / (2.0 * sigma**2))
         wts = wts / jnp.sum(wts, axis=1, keepdims=True)
         enc = jnp.zeros((flat.shape[0], K), jnp.float32)
