@@ -204,3 +204,64 @@ def test_snap_ab_in_range_and_idempotent(seed):
     again = np.asarray(snap_ab(jnp.float32(L), jnp.asarray(snapped)))
     # the <1 Lab-delta stopping criterion bounds the re-snap movement
     assert np.abs(again - snapped).max() <= 3.0
+
+
+# ------------------------------------------------------- hint-list semantics
+@FAST
+@given(SEED, st.integers(0, 20))
+def test_points_json_table_matches_dense_put_points(seed, n):
+    """points_json_to_table + device rasterize must equal put_points_json's
+    sequential dense writes for any valid hint list (same clamping, and
+    later-hints-win == sequential overwrite)."""
+    from ideepcolor_tpu.ops import host
+    from ideepcolor_tpu.ops.hints import (points_json_to_table,
+                                          put_points_json)
+    rng = np.random.default_rng(seed)
+    size = 64
+    hints = [{"y": int(rng.integers(0, size)),
+              "x": int(rng.integers(0, size)),
+              "ab": [float(rng.uniform(-110, 110)),
+                     float(rng.uniform(-110, 110))],
+              "radius": int(rng.integers(0, size // 2))}
+             for _ in range(n)]
+    ab_d = np.zeros((2, size, size), np.float32)
+    m_d = np.zeros((1, size, size), np.float32)
+    put_points_json(ab_d, m_d, hints, size)
+    boxes, values, count = points_json_to_table(hints, size)
+    ab_t, m_t = host.rasterize_hints(boxes, values, count, size)
+    assert np.array_equal(m_t.transpose(2, 0, 1), m_d)
+    assert np.array_equal(ab_t.transpose(2, 0, 1), ab_d)
+
+
+@FAST
+@given(SEED, st.integers(1, 25))
+def test_uicontrol_random_ops_table_matches_dense(seed, n_ops):
+    """Random add/move/erase sequences: the fast hint_table path must
+    rasterize to EXACTLY the dense get_input parity path's mask, and
+    used_colors stays most-recent-first unique."""
+    from ideepcolor_tpu.ops import host
+    from ideepcolor_tpu.ui.control import UIControl
+    rng = np.random.default_rng(seed)
+    c = UIControl(win_size=64, load_size=64)
+    c.setImageSize((64, 64))
+    for _ in range(n_ops):
+        op = rng.choice(["add", "move", "erase"])
+        pnt = (int(rng.integers(2, 62)), int(rng.integers(2, 62)))
+        color = tuple(int(v) for v in rng.integers(0, 256, 3))
+        width = int(rng.integers(1, 4))
+        if op == "add":
+            c.addPoint(pnt, color, color, width)
+        elif op == "move" and c.userEdit is not None:
+            c.movePoint(pnt, color, color, width)
+        elif op == "erase":
+            c.erasePoint(pnt)
+    im, mask_dense = c.get_input()
+    boxes, vals, count = c.hint_table()
+    _ab, mask_tbl = host.rasterize_hints(boxes, vals, count, c.load_size)
+    assert np.array_equal(mask_tbl[..., 0] > 0, mask_dense[..., 0] > 0)
+    uc = c.used_colors()
+    if uc is not None:
+        # unique rows
+        assert len({tuple(r) for r in np.round(uc, 6)}) == len(uc)
+    else:
+        assert not c.userEdits
