@@ -265,3 +265,82 @@ def test_uicontrol_random_ops_table_matches_dense(seed, n_ops):
         assert len({tuple(r) for r in np.round(uc, 6)}) == len(uc)
     else:
         assert not c.userEdits
+
+
+# ------------------------------------------------------------ batch serving
+@FAST
+@given(SEED)
+def test_batch_table_forward_rows_match_batch_of_one(seed):
+    """Batched table serving must colorize each row exactly as a
+    batch-of-1 dispatch of the same image+hints (no cross-batch state)."""
+    from ideepcolor_tpu.engine.batch import batch_forward_frames_table
+    from ideepcolor_tpu.models import siggraph
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    rng = np.random.default_rng(seed)
+    params = siggraph.init_params(jax.random.key(1), width=0.25)
+    N, S = 3, 64
+    l_mc = jnp.asarray(rng.uniform(-50, 50, (N, S, S, 1))
+                       .astype(np.float32))
+    boxes = np.zeros((N, MAX_HINTS, 4), np.int32)
+    values = np.zeros((N, MAX_HINTS, 2), np.float32)
+    counts = rng.integers(0, 4, N).astype(np.int32)
+    for i in range(N):
+        for j in range(counts[i]):
+            y, x = rng.integers(2, S - 3, 2)
+            boxes[i, j] = [y, x, y + 2, x + 2]
+            values[i, j] = rng.uniform(-80, 80, 2)
+    rgb_b, ab_b = batch_forward_frames_table(
+        params, l_mc, jnp.asarray(boxes), jnp.asarray(values),
+        jnp.asarray(counts), jnp.float32(0.0))
+    for i in range(N):
+        rgb_1, ab_1 = batch_forward_frames_table(
+            params, l_mc[i:i + 1], jnp.asarray(boxes[i:i + 1]),
+            jnp.asarray(values[i:i + 1]), jnp.asarray(counts[i:i + 1]),
+            jnp.float32(0.0))
+        # different batch shapes may tile convs differently -> allow a
+        # numerics-level delta, not a semantic one
+        assert np.abs(np.asarray(ab_b)[i] - np.asarray(ab_1)[0]).max() < 0.1
+        assert np.abs(np.asarray(rgb_b)[i].astype(int)
+                      - np.asarray(rgb_1)[0].astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------- caffemodel wire
+@FAST
+@given(SEED, st.booleans())
+def test_caffemodel_wire_roundtrip(seed, v1):
+    """encode_netparameter -> parse_caffemodel is an exact roundtrip for
+    random layer graphs in BOTH wire forms (modern LayerParameter and
+    legacy V1LayerParameter), including parameterless layers readers
+    must skip."""
+    from ideepcolor_tpu.models.caffemodel_io import (encode_netparameter,
+                                                     parse_caffemodel)
+    rng = np.random.default_rng(seed)
+    specs = []
+    want = {}
+    for i in range(rng.integers(1, 8)):
+        name = f"layer_{i}_{rng.integers(1e6)}"
+        if rng.random() < 0.3:
+            specs.append({"name": name, "type": "ReLU", "blobs": []})
+            continue
+        blobs = []
+        for _ in range(rng.integers(1, 4)):
+            shape = tuple(int(s) for s in
+                          rng.integers(1, 5, rng.integers(1, 5)))
+            blobs.append(rng.normal(0, 1, shape).astype(np.float32))
+        specs.append({"name": name, "type": "Convolution",
+                      "bottom": ["x"], "top": [name], "blobs": blobs})
+        want[name] = blobs
+    buf = encode_netparameter(specs, net_name="prop", v1=v1)
+    got = parse_caffemodel(buf)
+    for name, blobs in want.items():
+        assert name in got, name
+        assert len(got[name]) == len(blobs)
+        for g, w in zip(got[name], blobs):
+            if v1:
+                # the legacy wire stores every blob as 4-d
+                # num/channels/height/width — rank-padding with leading
+                # 1s is the format's semantics, not reader loss
+                assert g.shape == (1,) * (4 - w.ndim) + w.shape
+            else:
+                assert g.shape == w.shape
+            assert np.array_equal(g.reshape(w.shape), w)
