@@ -629,6 +629,16 @@ def bench_serve_soak(extras):
         extras["soak_req_per_sec"] = round(len(all_lat) / secs, 1)
         extras["soak_p99_ms"] = round(float(all_lat[int(len(all_lat)
                                                         * 0.99)]), 1)
+        # the aggregate p99 is dominated by bulk fullres, which the
+        # PriorityLock de-prioritizes BY DESIGN under saturation — split
+        # out the interactive-class p99 (clicks/suggests/netres) that the
+        # scheduling exists to protect
+        inter_parts = [np.asarray(v) for k, v in lat.items()
+                       if k != "fullres" and v]
+        if inter_parts:
+            inter = np.sort(np.concatenate(inter_parts)) * 1000.0
+            extras["soak_interactive_p99_ms"] = round(
+                float(inter[int(len(inter) * 0.99)]), 1)
         for kind, v in lat.items():
             if v:
                 extras[f"soak_{kind}_p50_ms"] = round(
