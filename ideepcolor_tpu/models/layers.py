@@ -109,3 +109,17 @@ def torch_convT_to_hwio(w) -> jnp.ndarray:
     lhs-dilated-conv formulation used by conv_transpose2d_k4s2p1."""
     w = jnp.asarray(w)[:, :, ::-1, ::-1]
     return w.transpose(2, 3, 0, 1)
+
+
+def hwio_to_torch_conv(w):
+    """Inverse of :func:`torch_conv_to_hwio`: HWIO -> torch OIHW."""
+    import numpy as np
+    return np.asarray(w).transpose(3, 2, 0, 1)
+
+
+def hwio_to_torch_convT(w):
+    """Inverse of :func:`torch_convT_to_hwio`: flipped-HWIO
+    (H, W, I, O) -> torch ConvTranspose2d (I, O, H, W)."""
+    import numpy as np
+    return np.ascontiguousarray(
+        np.asarray(w).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])

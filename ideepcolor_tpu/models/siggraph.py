@@ -147,6 +147,32 @@ def from_torch_state_dict(sd: Mapping[str, Any]) -> Params:
     return params
 
 
+def to_torch_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of :func:`from_torch_state_dict`: our HWIO param dict ->
+    a ``SIGGRAPHGenerator`` torch state_dict layout (OIHW convs, IOHW
+    deconvs, ``num_batches_tracked`` zeros included so
+    ``load_state_dict(strict=True)`` accepts it). Lets checkpoints
+    trained here run under the reference's own torch definition
+    (ref models/pytorch/model.py:5-175); width-scaled students export
+    too, but only full-width matches the reference class's shapes."""
+    out: dict[str, np.ndarray] = {}
+    for block, conv_idx, bn_idx in _BLOCKS:
+        is_deconv = block in _DECONV_BLOCKS
+        for j in conv_idx:
+            w = params[f"{block}.{j}.weight"]
+            conv = (L.hwio_to_torch_convT if is_deconv
+                    else L.hwio_to_torch_conv)
+            out[f"{block}.{j}.weight"] = conv(w)
+            out[f"{block}.{j}.bias"] = np.asarray(params[f"{block}.{j}.bias"])
+        if bn_idx is not None:
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                out[f"{block}.{bn_idx}.{suffix}"] = np.asarray(
+                    params[f"{block}.{bn_idx}.{suffix}"])
+            out[f"{block}.{bn_idx}.num_batches_tracked"] = np.zeros(
+                (), np.int64)
+    return out
+
+
 def params_from_state_dict(sd: Mapping[str, Any]) -> Params:
     """Accept either an already-converted param dict (HWIO: the 4 input
     channels sit in axis 2 of the first conv) or a raw torch state dict

@@ -8,6 +8,10 @@ Supports:
   * Caffe ``.caffemodel`` NetParameter protobufs (model.caffemodel /
     global_model.caffemodel, parsed natively — no caffe install)
       -> caffe_net params for --variant main|dist|global
+  * the EXPORT direction: framework siggraph params (.npz / orbax dir /
+    train-state dir) -> a torch ``.pth`` state dict loadable by the
+    reference's own SIGGRAPHGenerator with strict=True (OUT ends in
+    .pth/.pt), so checkpoints trained here run under the reference stack.
 
 Usage:
   python scripts/convert_checkpoint.py IN OUT [--variant main] [--orbax]
@@ -33,6 +37,18 @@ def main(argv=None):
 
     from ideepcolor_tpu.utils.session import (save_params_npz,
                                               save_params_orbax)
+
+    if args.dst.endswith((".pth", ".pt")):
+        # EXPORT: framework checkpoint -> reference torch state dict
+        import torch
+        from ideepcolor_tpu.api.colorize import _load_checkpoint
+        from ideepcolor_tpu.models import siggraph
+        params = siggraph.params_from_state_dict(_load_checkpoint(args.src))
+        sd = {k: torch.from_numpy(v.copy())
+              for k, v in siggraph.to_torch_state_dict(params).items()}
+        torch.save(sd, args.dst)
+        print(f"exported {len(sd)} tensors -> {args.dst}")
+        return 0
 
     if args.src.endswith((".pth", ".pt")):
         import torch

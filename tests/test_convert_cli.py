@@ -106,6 +106,54 @@ def test_convert_torch_pth_to_orbax_and_load(tmp_path):
     assert out.shape == (32, 32, 3)
 
 
+def test_export_pth_runs_under_reference_oracle(tmp_path):
+    """EXPORT direction: our params -> .pth -> the reference's own
+    SIGGRAPHGenerator (strict=True) must compute the same function —
+    checkpoints trained here are portable back to the reference stack."""
+    import torch
+    ref_py = "/root/reference/models/pytorch/model.py"
+    if not os.path.exists(ref_py):
+        pytest.skip("reference model def unavailable")
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(7))
+    # randomized BN running stats so a mean/var mixup can't hide behind
+    # the identity-stat init
+    rng = np.random.default_rng(7)
+    for k in list(params):
+        if k.endswith("running_mean"):
+            params[k] = rng.uniform(-0.5, 0.5, params[k].shape).astype(
+                np.float32)
+        elif k.endswith("running_var"):
+            params[k] = rng.uniform(0.5, 2.0, params[k].shape).astype(
+                np.float32)
+    src = str(tmp_path / "ours.npz")
+    np.savez(src, **{k: np.asarray(v) for k, v in params.items()})
+    dst = str(tmp_path / "exported.pth")
+    r = _run([src, dst])
+    assert r.returncode == 0, r.stderr[-500:]
+
+    spec = importlib.util.spec_from_file_location("rsg3", ref_py)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.SIGGRAPHGenerator(dist=False)
+    net.load_state_dict(torch.load(dst, weights_only=True), strict=True)
+    net.eval()
+
+    rng = np.random.default_rng(8)
+    A = rng.uniform(-50, 50, (1, 64, 64, 1)).astype(np.float32)
+    B = rng.uniform(-110, 110, (1, 64, 64, 2)).astype(np.float32)
+    mask = (rng.random((1, 64, 64, 1)) > 0.9).astype(np.float32)
+    B *= mask
+    with torch.no_grad():
+        want = net.forward(A[0].transpose(2, 0, 1),
+                           B[0].transpose(2, 0, 1),
+                           mask[0].transpose(2, 0, 1), maskcent=0)
+    want = want.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(siggraph.apply(
+        {k: np.asarray(v) for k, v in params.items()}, A, B, mask, 0.0))
+    assert np.max(np.abs(got - want)) < 2e-4, np.max(np.abs(got - want))
+
+
 def test_corpus_manifest_gates_staleness(tmp_path, monkeypatch):
     """The corpus build writes a manifest LAST; manifest_is_current must
     reject a partial build (no manifest), a stale script version, and a
