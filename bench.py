@@ -264,7 +264,11 @@ def bench_student(extras):
                     .astype(np.float32))
     hab = jnp.zeros((N, 256, 256, 2))
     hm = jnp.zeros((N, 256, 256, 1))
-    for width, tag in ((0.5, "w05"), (0.25, "w025")):
+    # width 1.0 = the teacher at the same batch: its batch-16 number
+    # (~1050 imgs/s = ~65 steps/s) sits AT the tunnel's ~66 steps/s
+    # dispatch ceiling, so this is the device-bound teacher rate
+    for width, tag in ((1.0, "teacher"), (0.5, "student_w05"),
+                       (0.25, "student_w025")):
         params = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16),
             siggraph.init_params(jax.random.key(0), width=width))
@@ -277,7 +281,7 @@ def bench_student(extras):
             run()
         _sync(run()[0])
         dt = (time.perf_counter() - t0) / reps
-        extras[f"student_{tag}_batch128_bf16_imgs_per_sec"] = round(
+        extras[f"{tag}_batch128_bf16_imgs_per_sec"] = round(
             N / dt, 1)
 
 

@@ -31,6 +31,12 @@ def parse_args(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--resume", type=str, default="")
+    ap.add_argument("--init-from", type=str, default="",
+                    help="params-only checkpoint (.npz/.pth/orbax) to "
+                         "initialize from with FRESH optimizer state — "
+                         "fine-tuning (e.g. the bundled teacher, or "
+                         "converted published weights, at a new --size); "
+                         "--resume instead continues a full train state")
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--export", type=str, default="",
                     help="also save final params-only weights (orbax dir "
@@ -58,6 +64,14 @@ def parse_args(argv=None):
                          "attached training at ~2 steps/s); auto picks "
                          "device when the corpus fits in HBM")
     return ap.parse_args(argv)
+
+
+def _params_only(path: str):
+    """Load a params-only checkpoint in any supported format, converting
+    torch state dicts to our layout (the --init-from fine-tune source)."""
+    from ideepcolor_tpu.api.colorize import _load_checkpoint
+    from ideepcolor_tpu.models import siggraph
+    return siggraph.params_from_state_dict(_load_checkpoint(path))
 
 
 def main(argv=None):
@@ -105,6 +119,11 @@ def main(argv=None):
             print(f"resumed at step {int(state['step'])}")
         else:
             state = distill.init_student(jax.random.key(0), dcfg)
+            if args.init_from:
+                state["params"] = _params_only(args.init_from)
+                state["opt_state"] = distill.make_optimizer(dcfg).init(
+                    state["params"])
+                print(f"student params initialized from {args.init_from}")
         jitted0, shard_state, shard_batch, put_teacher = \
             distill.make_sharded_distill_step(dcfg, mesh)
         teacher = put_teacher(teacher)
@@ -115,6 +134,12 @@ def main(argv=None):
         print(f"resumed at step {int(state['step'])}")
     else:
         state = tstep.init_state(jax.random.key(0), cfg)
+        if args.init_from:
+            state["params"] = _params_only(args.init_from)
+            state["opt_state"] = tstep.make_optimizer(cfg).init(
+                state["params"])
+            print(f"params initialized from {args.init_from} "
+                  f"(fresh optimizer)")
 
     if not distilling:
         jitted, shard_state, shard_batch = tstep.make_sharded_train_step(

@@ -93,6 +93,42 @@ def test_train_cli_smoke(tmp_path):
         assert not np.isscalar(out) and out.shape == (32, 32, 3)
 
 
+def test_train_cli_init_from_finetune(tmp_path):
+    """--init-from: params-only checkpoint seeds training with a fresh
+    optimizer (the fine-tune workflow, e.g. re-training the bundled
+    teacher at a new --size). At --steps 0 the exported params must be
+    EXACTLY the init source (proves the load/convert path); a 2-step run
+    from the same init must train and export changed params."""
+    import shutil
+    data = tmp_path / "data"
+    data.mkdir()
+    src = "/root/reference/test_imgs/mortar_pestle.jpg"
+    if not os.path.exists(src):
+        pytest.skip("no images")
+    for i in range(2):
+        shutil.copy(src, data / f"im{i}.jpg")
+    from ideepcolor_tpu.models import siggraph
+    init = siggraph.init_params(__import__("jax").random.key(3))
+    np.savez(tmp_path / "init.npz",
+             **{k: np.asarray(v) for k, v in init.items()})
+    from ideepcolor_tpu.apps import train as train_cli
+    base = [str(data), "--batch", "2", "--size", "32",
+            "--ckpt", str(tmp_path / "ck"), "--log-every", "1",
+            "--init-from", str(tmp_path / "init.npz")]
+    rc = train_cli.main(base + ["--steps", "0",
+                                "--export", str(tmp_path / "pass.npz")])
+    assert rc == 0
+    passed = dict(np.load(tmp_path / "pass.npz"))
+    assert all(np.array_equal(passed[k], np.asarray(init[k]))
+               for k in passed)
+    rc = train_cli.main(base + ["--steps", "2",
+                                "--export", str(tmp_path / "ft.npz")])
+    assert rc == 0
+    ft = dict(np.load(tmp_path / "ft.npz"))
+    assert not np.array_equal(ft["model1.0.weight"],
+                              np.asarray(init["model1.0.weight"]))
+
+
 def test_train_cli_distill_smoke(tmp_path):
     """Distillation CLI: teacher ckpt -> student ckpt -> serve closes."""
     import shutil
