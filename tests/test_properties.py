@@ -344,3 +344,20 @@ def test_caffemodel_wire_roundtrip(seed, v1):
             else:
                 assert g.shape == w.shape
             assert np.array_equal(g.reshape(w.shape), w)
+
+
+# ------------------------------------------------------------ torch export
+@FAST
+@given(SEED, st.sampled_from([1.0, 0.5]))
+def test_torch_state_dict_roundtrip_identity(seed, width):
+    """to_torch_state_dict is a true inverse of from_torch_state_dict for
+    any parameter values at any width tier (the .pth export direction of
+    scripts/convert_checkpoint.py)."""
+    from ideepcolor_tpu.models import siggraph
+    params = siggraph.init_params(jax.random.key(seed), width=width)
+    sd = siggraph.to_torch_state_dict(params)
+    back = siggraph.from_torch_state_dict(
+        {k: v for k, v in sd.items() if "num_batches_tracked" not in k})
+    assert set(back) == set(params)
+    for k in params:
+        assert np.array_equal(np.asarray(back[k]), np.asarray(params[k])), k
