@@ -249,11 +249,12 @@ def bench_batched_serving(extras):
 
 
 def bench_student(extras):
-    """Distilled-student serving headroom: width-0.5 SIGGRAPH student
-    (~4x fewer FLOPs, train/distill.py), bfloat16, batch 128 — the
-    fewer-FLOPs path past the teacher's 75-80% MXU ceiling. Batch must be
-    large here: at batch 16 the tunnel's dispatch rate (~66 steps/s)
-    masks the student's speed (measured 1055 imgs/s for every width)."""
+    """The width ladder at batch 128 bf16: teacher (width 1.0) plus the
+    distilled width-0.5/0.25 students (~width^2 FLOPs, train/distill.py)
+    — the fewer-FLOPs path past the teacher's 75-80% MXU ceiling. Batch
+    must be large here: at batch 16 the tunnel's dispatch rate
+    (~66 steps/s) masks device speed (measured ~1050 imgs/s for every
+    width, teacher included)."""
     import jax
     import jax.numpy as jnp
     from ideepcolor_tpu.engine.batch import batch_forward_frames

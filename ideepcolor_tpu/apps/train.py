@@ -66,16 +66,13 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
-def _params_only(path: str):
-    """Load a params-only checkpoint in any supported format, converting
-    torch state dicts to our layout (the --init-from fine-tune source)."""
-    from ideepcolor_tpu.api.colorize import _load_checkpoint
-    from ideepcolor_tpu.models import siggraph
-    return siggraph.params_from_state_dict(_load_checkpoint(path))
-
-
 def main(argv=None):
     args = parse_args(argv)
+    if args.resume and args.init_from:
+        raise SystemExit("--resume and --init-from are mutually "
+                         "exclusive: resume continues a full train state "
+                         "(optimizer included); init-from starts a fresh "
+                         "run from params only")
     from ideepcolor_tpu.config import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     import jax
@@ -118,11 +115,11 @@ def main(argv=None):
             state = distill.load_student_state(args.resume, dcfg)
             print(f"resumed at step {int(state['step'])}")
         else:
-            state = distill.init_student(jax.random.key(0), dcfg)
+            init_p = (siggraph.load_params(args.init_from)
+                      if args.init_from else None)
+            state = distill.init_student(jax.random.key(0), dcfg,
+                                         params=init_p)
             if args.init_from:
-                state["params"] = _params_only(args.init_from)
-                state["opt_state"] = distill.make_optimizer(dcfg).init(
-                    state["params"])
                 print(f"student params initialized from {args.init_from}")
         jitted0, shard_state, shard_batch, put_teacher = \
             distill.make_sharded_distill_step(dcfg, mesh)
@@ -133,11 +130,12 @@ def main(argv=None):
         state = tstep.load_train_state(args.resume, cfg)
         print(f"resumed at step {int(state['step'])}")
     else:
-        state = tstep.init_state(jax.random.key(0), cfg)
+        from ideepcolor_tpu.models import siggraph
+        state = tstep.init_state(
+            jax.random.key(0), cfg,
+            params=(siggraph.load_params(args.init_from)
+                    if args.init_from else None))
         if args.init_from:
-            state["params"] = _params_only(args.init_from)
-            state["opt_state"] = tstep.make_optimizer(cfg).init(
-                state["params"])
             print(f"params initialized from {args.init_from} "
                   f"(fresh optimizer)")
 

@@ -182,6 +182,24 @@ def params_from_state_dict(sd: Mapping[str, Any]) -> Params:
     return from_torch_state_dict(sd)
 
 
+def load_params(path: str) -> Params:
+    """Load a params-only SIGGRAPH checkpoint from any supported
+    container (.npz / .pth / orbax dir / train-state dir), converting
+    torch state dicts to our layout. The one loader behind the train
+    CLI's --init-from and the .pth export direction of
+    scripts/convert_checkpoint.py."""
+    from ..api.colorize import _load_checkpoint  # lazy: no import cycle
+    sd = _load_checkpoint(path)
+    if sd is None:
+        raise ValueError("empty checkpoint path")
+    if "model1.0.weight" not in sd:
+        raise ValueError(
+            f"{path} is not a SIGGRAPH-family checkpoint (no "
+            "'model1.0.weight' — caffe_net params have their own keying "
+            "and load via api.ColorizeImageJaxCaffe*, not this path)")
+    return params_from_state_dict(sd)
+
+
 def _block(params: Params, name: str, x: jax.Array,
            precision) -> jax.Array:
     """Apply one Sequential block: convs with ReLU between, optional BN.

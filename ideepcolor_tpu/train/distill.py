@@ -56,8 +56,20 @@ def make_optimizer(cfg: DistillConfig):
     return tstep.make_optimizer(_as_train_cfg(cfg))
 
 
-def init_student(key: jax.Array, cfg: DistillConfig):
-    params = siggraph.init_params(key, width=cfg.width)
+def init_student(key: jax.Array, cfg: DistillConfig, params=None):
+    """Fresh student state; ``params`` seeds from an existing checkpoint
+    (must be at cfg.width's channel tiers — the first-conv input axis is
+    4 at EVERY width, so the tier is checked explicitly here)."""
+    if params is None:
+        params = siggraph.init_params(key, width=cfg.width)
+    else:
+        want = siggraph.scaled_channels(cfg.width)[0]
+        got = int(params["model1.0.weight"].shape[3])
+        if got != want:
+            raise ValueError(
+                f"--init-from params are width-tier c1={got}, but "
+                f"--width {cfg.width} needs c1={want}; a mismatched "
+                "init would silently train the wrong-size student")
     opt_state = make_optimizer(cfg).init(params)
     return {"params": params, "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32)}

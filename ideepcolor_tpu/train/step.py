@@ -55,8 +55,11 @@ def make_optimizer(cfg: TrainConfig):
     return optax.adam(lr, b1=0.9, b2=0.99)
 
 
-def init_state(key: jax.Array, cfg: TrainConfig):
-    params = siggraph.init_params(key)
+def init_state(key: jax.Array, cfg: TrainConfig, params=None):
+    """Fresh train state; ``params`` seeds from an existing checkpoint
+    (the fine-tune path) instead of random init."""
+    if params is None:
+        params = siggraph.init_params(key)
     opt_state = make_optimizer(cfg).init(params)
     return {"params": params, "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32)}

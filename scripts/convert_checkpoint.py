@@ -40,11 +40,17 @@ def main(argv=None):
 
     if args.dst.endswith((".pth", ".pt")):
         # EXPORT: framework checkpoint -> reference torch state dict
+        if args.orbax:
+            raise SystemExit("--orbax conflicts with a .pth/.pt OUT "
+                             "(export always writes a torch state dict)")
+        import numpy as np
         import torch
-        from ideepcolor_tpu.api.colorize import _load_checkpoint
         from ideepcolor_tpu.models import siggraph
-        params = siggraph.params_from_state_dict(_load_checkpoint(args.src))
-        sd = {k: torch.from_numpy(v.copy())
+        try:
+            params = siggraph.load_params(args.src)
+        except (ValueError, KeyError, OSError) as e:
+            raise SystemExit(f"cannot export {args.src}: {e}")
+        sd = {k: torch.from_numpy(np.asarray(v).copy())
               for k, v in siggraph.to_torch_state_dict(params).items()}
         torch.save(sd, args.dst)
         print(f"exported {len(sd)} tensors -> {args.dst}")

@@ -127,6 +127,17 @@ def test_train_cli_init_from_finetune(tmp_path):
     ft = dict(np.load(tmp_path / "ft.npz"))
     assert not np.array_equal(ft["model1.0.weight"],
                               np.asarray(init["model1.0.weight"]))
+    # conflicting flags are a clean error, not a silent ignore
+    with pytest.raises(SystemExit, match="mutually"):
+        train_cli.main(base + ["--steps", "1",
+                               "--resume", str(tmp_path / "nowhere")])
+    # width-mismatched student init is a loud error, not a silent
+    # full-width "student"
+    from ideepcolor_tpu.train import distill
+    with pytest.raises(ValueError, match="width-tier"):
+        distill.init_student(
+            __import__("jax").random.key(0),
+            distill.DistillConfig(width=0.25), params=init)
 
 
 def test_train_cli_distill_smoke(tmp_path):

@@ -154,6 +154,25 @@ def test_export_pth_runs_under_reference_oracle(tmp_path):
     assert np.max(np.abs(got - want)) < 2e-4, np.max(np.abs(got - want))
 
 
+def test_export_pth_rejects_caffe_params_cleanly(tmp_path):
+    """Exporting a caffe_net-keyed checkpoint (the converter's own
+    .caffemodel output format) must exit with a diagnostic, not a
+    KeyError traceback; --orbax with a .pth OUT is a clean conflict."""
+    from ideepcolor_tpu.models import caffe_net
+    params = caffe_net.init_params(jax.random.key(0), "main")
+    src = str(tmp_path / "caffe_main.npz")
+    np.savez(src, **{k: np.asarray(v) for k, v in params.items()})
+    with pytest.raises(SystemExit, match="SIGGRAPH-family"):
+        _run([src, str(tmp_path / "out.pth")])
+    from ideepcolor_tpu.models import siggraph
+    ok = str(tmp_path / "ok.npz")
+    np.savez(ok, **{k: np.asarray(v) for k, v in
+                    siggraph.init_params(jax.random.key(1),
+                                         width=0.25).items()})
+    with pytest.raises(SystemExit, match="orbax"):
+        _run([ok, str(tmp_path / "out.pth"), "--orbax"])
+
+
 def test_corpus_manifest_gates_staleness(tmp_path, monkeypatch):
     """The corpus build writes a manifest LAST; manifest_is_current must
     reject a partial build (no manifest), a stale script version, and a
