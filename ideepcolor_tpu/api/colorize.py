@@ -266,7 +266,8 @@ class ColorizeImageBase:
 
         boxes (MAX_HINTS,4) int32 [y1,x1,y2,x2]; values (MAX_HINTS,2) ab;
         count live hints (see ui.control.UIControl.hint_table). Uploads
-        ~1.8 KB/click and rasterizes on device inside the fused program;
+        ~6 KB/click (256 slots) and rasterizes on device inside the fused
+        program;
         numpy hint mirrors for the getters are rebuilt with the native
         host rasterizer. Backends without a table program return -1.
         """
