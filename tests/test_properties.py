@@ -361,3 +361,39 @@ def test_torch_state_dict_roundtrip_identity(seed, width):
     assert set(back) == set(params)
     for k in params:
         assert np.array_equal(np.asarray(back[k]), np.asarray(params[k])), k
+
+
+@settings(max_examples=60, deadline=None)
+@given(SEED, st.sampled_from(["truncate", "flip", "random"]))
+def test_caffemodel_parser_survives_corrupt_input(seed, mode):
+    """The from-scratch protobuf reader must fail CLEANLY on corrupt
+    bytes: bounded exceptions, no hangs, no shape-driven allocation
+    (reshape is guarded by an element-count check), no crashes. Real
+    .caffemodel files arrive over networks and get truncated."""
+    from ideepcolor_tpu.models.caffemodel_io import (encode_netparameter,
+                                                     parse_caffemodel)
+    rng = np.random.default_rng(seed)
+    base = encode_netparameter(
+        [{"name": "conv", "type": "Convolution", "bottom": ["x"],
+          "top": ["y"],
+          "blobs": [rng.normal(0, 1, (4, 3, 3, 3)).astype(np.float32),
+                    rng.normal(0, 1, (4,)).astype(np.float32)]}],
+        net_name="fuzz")
+    if mode == "truncate":
+        corrupt = base[:rng.integers(0, len(base))]
+    elif mode == "flip":
+        corrupt = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            corrupt[rng.integers(0, len(corrupt))] = rng.integers(0, 256)
+        corrupt = bytes(corrupt)
+    else:
+        corrupt = rng.integers(0, 256, rng.integers(0, 4096),
+                               dtype=np.uint8).tobytes()
+    try:
+        out = parse_caffemodel(corrupt)
+    except (ValueError, IndexError, KeyError, OverflowError):
+        return                                   # clean, bounded failure
+    assert isinstance(out, dict)
+    for blobs in out.values():
+        for b in blobs:
+            assert b.nbytes <= 4 * len(corrupt) + 64  # no phantom data
