@@ -115,7 +115,9 @@ def device_op_summary(log_dir: str, reps: int = 1) -> dict:
     total = sum(agg.values())
     groups: collections.Counter = collections.Counter()
     for n, d in agg.items():
-        if "conv" in n or "custom-call" in n:
+        # NOTE: plain `"conv" in n` would swallow XLA's `*_convert_*`
+        # fusions (dtype casts) into the convolution bucket
+        if ("conv" in n and "convert" not in n) or "custom-call" in n:
             g = "convolution"
         elif n.startswith(("copy", "slice", "dynamic")):
             g = "copy/slice"
