@@ -39,6 +39,45 @@ def _sync(x):
     return np.asarray(x if getattr(x, "ndim", 0) == 0 else x.ravel()[:8])
 
 
+def _unwedge_guard(stall_s: float = 60.0):
+    """Arm a watchdog for the wedged-first-dispatch failure mode.
+
+    After an ungraceful kill of a previous TPU process, this process's
+    device enumeration or FIRST dispatch can wedge indefinitely in a futex
+    wait on the tunnel (0 CPU); starting a second tiny jax process
+    ("nudge") reliably unwedges it within seconds (observed repeatedly —
+    see CLAUDE.md). The driver runs bench.py unattended, so recover
+    automatically: if the first dispatch hasn't completed within
+    ``stall_s``, fire the nudge subprocess (up to 3 times), logging one
+    clean line per attempt. Returns a disarm callable to invoke once the
+    first dispatch+readback has completed.
+    """
+    import threading
+    import subprocess
+
+    done = threading.Event()
+
+    def watchdog():
+        for attempt in range(1, 4):
+            if done.wait(stall_s):
+                return
+            print(f"# first dispatch stalled >{stall_s:.0f}s; "
+                  f"nudge attempt {attempt}/3", file=sys.stderr)
+            try:
+                subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp, numpy;"
+                     "numpy.asarray(jnp.ones(()))"],
+                    check=False, timeout=180,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            except Exception as e:
+                print(f"# nudge subprocess failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done.set
+
+
 def measure_baseline_torch_cpu() -> float:
     model_py = os.path.join(REFERENCE_DIR, "models/pytorch/model.py")
     if not os.path.exists(model_py):
@@ -742,7 +781,12 @@ def main():
         f"# bench thread error: {a.exc_type.__name__}: "
         f"{str(a.exc_value)[:120]}", file=sys.stderr)
     extras = {}
+    # guard device enumeration + first dispatch against the post-kill wedge
+    disarm = _unwedge_guard()
     dev = jax.devices()[0]
+    import jax.numpy as jnp
+    _sync(jnp.ones((), jnp.float32) + 1.0)
+    disarm()
     try:
         p50, cm = bench_click_latency(extras)
     except Exception as e:
