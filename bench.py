@@ -48,9 +48,13 @@ def _unwedge_guard(stall_s: float = 60.0):
     ("nudge") reliably unwedges it within seconds (observed repeatedly —
     see CLAUDE.md). The driver runs bench.py unattended, so recover
     automatically: if the first dispatch hasn't completed within
-    ``stall_s``, fire the nudge subprocess (up to 3 times), logging one
-    clean line per attempt. Returns a disarm callable to invoke once the
-    first dispatch+readback has completed.
+    ``stall_s``, fire the nudge subprocess, logging one clean line per
+    attempt, and keep nudging (up to 5 attempts) until disarmed. The
+    nudge gets a 7-minute window: full lease recovery after a wedged
+    period was measured at ~200 s, and killing a nudge mid-dispatch is
+    itself an ungraceful kill that can prolong the bad state. Returns a
+    disarm callable to invoke once the first dispatch+readback has
+    completed.
     """
     import threading
     import subprocess
@@ -58,17 +62,17 @@ def _unwedge_guard(stall_s: float = 60.0):
     done = threading.Event()
 
     def watchdog():
-        for attempt in range(1, 4):
+        for attempt in range(1, 6):
             if done.wait(stall_s):
                 return
             print(f"# first dispatch stalled >{stall_s:.0f}s; "
-                  f"nudge attempt {attempt}/3", file=sys.stderr)
+                  f"nudge attempt {attempt}/5", file=sys.stderr)
             try:
                 subprocess.run(
                     [sys.executable, "-c",
                      "import jax, jax.numpy as jnp, numpy;"
                      "numpy.asarray(jnp.ones(()))"],
-                    check=False, timeout=180,
+                    check=False, timeout=420,
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             except Exception as e:
                 print(f"# nudge subprocess failed: "

@@ -33,7 +33,7 @@ def test_stall_fires_nudge_then_disarm_stops_it(monkeypatch):
     disarm()
     n_at_disarm = len(calls)
     time.sleep(0.3)           # thread must exit; no further attempts
-    assert 1 <= n_at_disarm <= 3
+    assert 1 <= n_at_disarm <= 5
     assert len(calls) == n_at_disarm
     cmd = calls[0][0][0]
     assert cmd[0] == sys.executable
