@@ -73,10 +73,24 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
+import sys
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServerBusy(Exception):
+    """Bulk admission refused: the bulk queue is at its cap. Handlers map
+    this to 429 + Retry-After (backpressure instead of unbounded bulk
+    latency under saturation)."""
+
+    def __init__(self, backlog: int, retry_after_s: int):
+        super().__init__(f"bulk queue full ({backlog} waiting); "
+                         f"retry in ~{retry_after_s}s")
+        self.retry_after_s = retry_after_s
 
 
 class PriorityLock:
@@ -111,9 +125,20 @@ class PriorityLock:
             return bulk[0]
         return inter[0] if inter else (bulk[0] if bulk else None)
 
-    def acquire(self, level: int = 0) -> None:
+    def bulk_backlog(self) -> int:
+        with self._cv:
+            return len(self._waiters[1])
+
+    def acquire(self, level: int = 0, cap: int | None = None) -> None:
         me = object()
         with self._cv:
+            if level == 1 and cap is not None:
+                backlog = len(self._waiters[1])
+                if backlog >= cap:
+                    # admission check is atomic with enqueue (under _cv),
+                    # so the cap is exact, not best-effort
+                    raise ServerBusy(
+                        backlog, max(1, round(backlog * 0.7)))
             self._waiters[level].append(me)
             while self._held or self._head() is not me:
                 self._cv.wait()
@@ -138,16 +163,17 @@ class PriorityLock:
         self.release()
         return False
 
-    def bulk(self):
-        return _BulkAcquire(self)
+    def bulk(self, cap: int | None = None):
+        return _BulkAcquire(self, cap)
 
 
 class _BulkAcquire:
-    def __init__(self, lock: PriorityLock):
+    def __init__(self, lock: PriorityLock, cap: int | None = None):
         self._lock = lock
+        self._cap = cap
 
     def __enter__(self):
-        self._lock.acquire(1)
+        self._lock.acquire(1, cap=self._cap)
         return self._lock
 
     def __exit__(self, *exc):
@@ -280,11 +306,17 @@ class ColorizeService:
     def __init__(self, weights: str = '', size: int = 256,
                  maskcent: bool = False, use_mesh: bool = False,
                  dtype: str | None = "bfloat16", auto_batch: int = 0,
-                 glob_weights: str = '', student_weights: str = ''):
+                 glob_weights: str = '', student_weights: str = '',
+                 max_bulk_backlog: int = 0):
         """dtype: serving precision, DEFAULT bfloat16 — the fast MXU mode,
         frame delta vs f32 is tiny (~56 dB PSNR, worst pixels within a few
         uint8 LSB; bench records the exact per-run delta); pass
-        'float32' for bit-parity serving."""
+        'float32' for bit-parity serving.
+
+        max_bulk_backlog: bulk-class admission cap — when that many bulk
+        requests (full-res fusion, /colorize_batch, global transfer)
+        already wait on the device, further bulk work is shed with 429 +
+        Retry-After instead of queueing unboundedly (0 = unbounded)."""
         from .. import api
         self.size = size
         self.model = api.ColorizeImageJax(Xd=size, maskcent=maskcent)
@@ -297,6 +329,14 @@ class ColorizeService:
                                                    maskcent=maskcent)
             self.model_fast.prep_net(path=student_weights, dtype=dtype)
         self.lock = PriorityLock()
+        self.max_bulk_backlog = int(max_bulk_backlog)
+        self.shed_429 = 0           # bulk requests refused at the cap
+        self._shed_lock = threading.Lock()
+        # drain-and-recycle state (RecycleGuard): while draining, handlers
+        # shed new POSTs with 503 and the guard waits for inflight == 0
+        self.draining = False
+        self.inflight = 0
+        self._inflight_cv = threading.Condition()
         self.requests = 0
         self._weights = weights
         self._maskcent = maskcent
@@ -322,6 +362,15 @@ class ColorizeService:
         self.batcher_fast = (
             _AutoBatcher(self, self.model_fast, max_batch=auto_batch)
             if auto_batch > 0 and self.model_fast is not None else None)
+
+    def _bulk(self):
+        """Bulk-priority device acquisition with the admission cap
+        (ServerBusy raises from __enter__ and maps to 429)."""
+        return self.lock.bulk(self.max_bulk_backlog or None)
+
+    def _count_shed(self):
+        with self._shed_lock:
+            self.shed_429 += 1
 
     # -- single image --
     def colorize(self, img_bytes: bytes, hints=None,
@@ -355,7 +404,7 @@ class ColorizeService:
         put_points_json(ab, mask, hints, self.size)
         # full-res fusion holds the device for hundreds of ms -> bulk
         # priority (interactive clicks/suggests go first)
-        lock_ctx = self.lock.bulk() if fullres else self.lock
+        lock_ctx = self._bulk() if fullres else self.lock
         with lock_ctx, self.timer.stage(
                 "colorize_fullres" if fullres else "colorize"):
             self.requests += 1
@@ -482,11 +531,46 @@ class ColorizeService:
             # all per-image state
             m = copy.copy(self.model_fast if fast else self.model)
             m.load_image_array(rgb)
+            m._sess_fast = fast      # tier, for dump/replay across recycle
             sid = uuid.uuid4().hex[:16]
             self._sessions[sid] = m
             while len(self._sessions) > self.MAX_SESSIONS:
                 self._sessions.pop(next(iter(self._sessions)))  # LRU
         return {"id": sid, "size": self.size}
+
+    def dump_sessions(self, path: str) -> int:
+        """Persist every live session's identity + source image to one npz
+        (the drain step of the RecycleGuard). Device-side Lab state is NOT
+        saved — replay rebuilds it from the image, which is the whole
+        point: the re-exec'd process starts with a fresh (leak-free)
+        transport."""
+        arrays, meta = {}, {}
+        with self.lock:
+            for sid, m in self._sessions.items():
+                arrays[sid] = np.asarray(m.img_rgb_fullres)
+                meta[sid] = bool(getattr(m, "_sess_fast", False))
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8)
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+        return len(meta)
+
+    def replay_sessions(self, path: str) -> int:
+        """Restore sessions dumped by dump_sessions under their ORIGINAL
+        ids (clients keep clicking the same /session/click?id=X across a
+        recycle)."""
+        import copy
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+            with self.lock:
+                for sid, fast in meta.items():
+                    if fast and self.model_fast is None:
+                        fast = False
+                    m = copy.copy(self.model_fast if fast else self.model)
+                    m.load_image_array(np.asarray(z[sid]))
+                    m._sess_fast = fast
+                    self._sessions[sid] = m
+        return len(meta)
 
     def session_click(self, sid: str, hints, fullres: bool = False
                       ) -> bytes:
@@ -494,7 +578,7 @@ class ColorizeService:
         from ..ops.hints import points_json_to_table, put_points_json
         table = points_json_to_table(hints, self.size)
         # fullres session clicks pay the full-res fusion under the lock
-        lock_ctx = self.lock.bulk() if fullres else self.lock
+        lock_ctx = self._bulk() if fullres else self.lock
         with lock_ctx, self.timer.stage("session_click"):
             self.requests += 1
             # lookup under the lock: a concurrent DELETE or LRU eviction
@@ -595,7 +679,7 @@ class ColorizeService:
                              (self.size, self.size))
         ab = np.zeros((2, self.size, self.size), np.float32)
         mask = np.zeros((1, self.size, self.size), np.float32)
-        with self.lock.bulk(), self.timer.stage("colorize_global"):
+        with self._bulk(), self.timer.stage("colorize_global"):
             self.requests += 1
             if self._glob is None:
                 from .. import api
@@ -656,7 +740,7 @@ class ColorizeService:
                 raise ValueError(
                     f"table shapes mismatch: {boxes.shape} "
                     f"{values.shape} {counts.shape} for {n} images")
-            with self.lock.bulk(), self.timer.stage("colorize_batch"):
+            with self._bulk(), self.timer.stage("colorize_batch"):
                 self.requests += 1
                 frames = colorize_batch_table(
                     self.model.params, images, boxes, values, counts,
@@ -664,7 +748,7 @@ class ColorizeService:
             buf = io.BytesIO()
             np.savez(buf, frames=frames)
             return buf.getvalue()
-        with self.lock.bulk(), self.timer.stage("colorize_batch"):
+        with self._bulk(), self.timer.stage("colorize_batch"):
             self.requests += 1
             frames = colorize_batch(self.model.params, images,
                                     hint_ab=hint_ab, hint_mask=hint_mask,
@@ -730,12 +814,103 @@ class ColorizeService:
 
     def health(self) -> dict:
         import jax
-        return {"status": "ok", "device": str(jax.devices()[0]),
+        from ..utils.soakload import rss_mb
+        return {"status": "draining" if self.draining else "ok",
+                "device": str(jax.devices()[0]),
                 "size": self.size, "requests": self.requests,
                 "has_fast": self.model_fast is not None,
                 "sessions": len(self._sessions),
+                "rss_mb": round(rss_mb(), 1),
+                "recycle_gen": int(
+                    os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "0")),
+                "inflight": self.inflight,
+                "bulk_backlog": self.lock.bulk_backlog(),
+                "shed_429": self.shed_429,
                 "mesh": None if self.mesh is None else
                 dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}
+
+
+class RecycleGuard(threading.Thread):
+    """Drain-and-recycle worker-memory guard (VERDICT r2 task 2).
+
+    The axon tunnel transport leaks host RSS proportional to bytes
+    uploaded (CLAUDE.md: live JAX arrays stay flat while VmRSS grows
+    ~2.2 MB per image-carrying request), so a long-lived serving process
+    on that transport OOMs regardless of how careful the serving stack
+    is. The fix at the process level: when VmRSS crosses ``cap_mb``,
+    (1) stop admitting new POSTs (handlers answer 503 + Retry-After),
+    (2) wait for in-flight requests to finish, (3) dump every live
+    session (id + source image) via ColorizeService.dump_sessions,
+    (4) re-exec the worker IN PLACE (same pid) with the listening socket
+    kept open across exec — the kernel holds the TCP accept queue, so no
+    connection attempt is refused — and (5) the fresh process replays the
+    sessions under their original ids before serving.
+
+    exec (not fork+exec) means there is never a second TPU process: the
+    drained process has no dispatch in flight when its tunnel fd closes,
+    which is the graceful-release case (the wedge hazard is killing
+    mid-dispatch).
+    """
+
+    def __init__(self, service: "ColorizeService",
+                 server: ThreadingHTTPServer, cap_mb: float,
+                 exec_argv: list, poll_s: float | None = None,
+                 dump_path: str | None = None,
+                 min_requests: int | None = None):
+        super().__init__(daemon=True, name="serve-recycle-guard")
+        self.service = service
+        self.server = server
+        self.cap_mb = float(cap_mb)
+        self.exec_argv = list(exec_argv)
+        self.poll_s = float(poll_s if poll_s is not None else
+                            os.environ.get("IDEEPCOLOR_RECYCLE_POLL_S", 2))
+        # exec-loop protection: a cap misconfigured below the process's
+        # BASELINE RSS would otherwise recycle forever without serving —
+        # require at least this many requests served this generation
+        self.min_requests = int(
+            min_requests if min_requests is not None else
+            os.environ.get("IDEEPCOLOR_RECYCLE_MIN_REQUESTS", 1))
+        self.dump_path = dump_path or os.path.join(
+            tempfile.gettempdir(),
+            f"ideepcolor_sessions_{os.getpid()}.npz")
+        self._stop = threading.Event()
+        self.rss_peak_mb = 0.0
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        from ..utils.soakload import rss_mb
+        while not self._stop.wait(self.poll_s):
+            rss = rss_mb()
+            self.rss_peak_mb = max(self.rss_peak_mb, rss)
+            if rss >= self.cap_mb and \
+                    self.service.requests >= self.min_requests:
+                self.recycle(rss)
+                return              # unreachable (exec), defensive
+
+    def recycle(self, rss: float) -> None:
+        svc = self.service
+        print(f"# recycle: RSS {rss:.0f} MB >= cap {self.cap_mb:.0f} MB; "
+              f"draining", file=sys.stderr, flush=True)
+        svc.draining = True
+        with svc._inflight_cv:
+            drained = svc._inflight_cv.wait_for(
+                lambda: svc.inflight == 0, timeout=300)
+        if not drained:              # pragma: no cover - stuck request
+            print(f"# recycle: {svc.inflight} requests still in flight "
+                  f"after 300s; recycling anyway", file=sys.stderr)
+        n = svc.dump_sessions(self.dump_path)
+        gen = int(os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "0")) + 1
+        fd = self.server.socket.fileno()
+        os.set_inheritable(fd, True)
+        os.environ["IDEEPCOLOR_LISTEN_FD"] = str(fd)
+        os.environ["IDEEPCOLOR_REPLAY_SESSIONS"] = self.dump_path
+        os.environ["IDEEPCOLOR_RECYCLE_GEN"] = str(gen)
+        print(f"# recycle: gen {gen}, {n} sessions dumped, exec in place",
+              file=sys.stderr, flush=True)
+        sys.stdout.flush()
+        os.execv(self.exec_argv[0], self.exec_argv)
 
 
 MAX_BODY_BYTES = 512 << 20      # reject absurd uploads before allocating
@@ -755,9 +930,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _err(self, code: int, msg: str):
-        self._reply(code, json.dumps({"error": msg}).encode(),
-                    "application/json")
+    def _err(self, code: int, msg: str, headers: dict | None = None):
+        body = json.dumps({"error": msg}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_GET(self):
         path = self.path.split("?")[0]
@@ -772,7 +953,9 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/stats":
             stats = {"requests": self.service.requests,
                      "latency": self.service.timer.summary(),
-                     "lock_bulk_jumped": self.service.lock.bulk_jumped}
+                     "lock_bulk_jumped": self.service.lock.bulk_jumped,
+                     "bulk_backlog": self.service.lock.bulk_backlog(),
+                     "shed_429": self.service.shed_429}
             for key, b in (("auto_batch", self.service.batcher),
                            ("auto_batch_fast",
                             self.service.batcher_fast)):
@@ -801,6 +984,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(404, f"unknown path {path}")
 
     def do_POST(self):
+        svc = self.service
+        if svc.draining:
+            # recycle in progress: shed before reading the body; close the
+            # connection (an unread body would corrupt keep-alive framing)
+            self.close_connection = True
+            self._err(503, "recycling worker; retry shortly",
+                      {"Retry-After": "3", "Connection": "close"})
+            return
+        with svc._inflight_cv:
+            svc.inflight += 1
+        try:
+            self._do_post_inner()
+        finally:
+            with svc._inflight_cv:
+                svc.inflight -= 1
+                svc._inflight_cv.notify_all()
+
+    def _do_post_inner(self):
         path, _, query = self.path.partition("?")
         try:
             n = int(self.headers.get("Content-Length", 0))
@@ -874,6 +1075,12 @@ class _Handler(BaseHTTPRequestHandler):
                             "application/json")
             else:
                 self._err(404, f"unknown path {path}")
+        except ServerBusy as e:
+            # bulk-class backpressure: bounded queue instead of unbounded
+            # tail latency under saturation
+            self.service._count_shed()
+            self._err(429, str(e),
+                      {"Retry-After": str(e.retry_after_s)})
         except (ValueError, KeyError, json.JSONDecodeError) as e:
             self._err(400, str(e))
         except Exception as e:  # pragma: no cover - defensive 500
@@ -900,13 +1107,54 @@ class _QuietDisconnectServer(ThreadingHTTPServer):
 def make_server(port: int = 0, host: str = "127.0.0.1",
                 **service_kw) -> ThreadingHTTPServer:
     """Build a ready-to-serve ThreadingHTTPServer (port 0 = ephemeral;
-    address in ``server.server_address``). Caller runs serve_forever()."""
+    address in ``server.server_address``). Caller runs serve_forever().
+
+    If IDEEPCOLOR_LISTEN_FD is set (a RecycleGuard re-exec), the already-
+    bound listening socket is adopted instead of binding anew — client
+    connections queued in the kernel during the recycle are served, none
+    refused."""
+    import socket as _socket
     service = ColorizeService(**service_kw)
     handler = type("BoundHandler", (_Handler,), {"service": service})
-    return _QuietDisconnectServer((host, port), handler)
+    listen_fd = os.environ.pop("IDEEPCOLOR_LISTEN_FD", None)
+    if listen_fd is None:
+        return _QuietDisconnectServer((host, port), handler)
+    srv = _QuietDisconnectServer((host, port), handler,
+                                 bind_and_activate=False)
+    srv.socket.close()
+    srv.socket = _socket.socket(fileno=int(listen_fd))
+    srv.server_address = srv.socket.getsockname()
+    srv.server_name, srv.server_port = srv.server_address[:2]
+    return srv
+
+
+class _SafeStream:
+    """stdout/stderr wrapper that swallows write failures: a (possibly
+    recycled) worker whose supervisor died — its stdout pipe closed —
+    must keep serving, not die of BrokenPipeError on its next print."""
+
+    def __init__(self, stream):
+        self._s = stream
+
+    def write(self, data):
+        try:
+            return self._s.write(data)
+        except OSError:
+            return len(data)
+
+    def flush(self):
+        try:
+            self._s.flush()
+        except OSError:
+            pass
+
+    def __getattr__(self, name):
+        return getattr(self._s, name)
 
 
 def main(argv=None):
+    sys.stdout = _SafeStream(sys.stdout)
+    sys.stderr = _SafeStream(sys.stderr)
     p = argparse.ArgumentParser(description="ideepcolor-tpu HTTP serving")
     p.add_argument("--port", type=int, default=8723)
     p.add_argument("--host", type=str, default="0.0.0.0")
@@ -937,7 +1185,27 @@ def main(argv=None):
                    help="compile all serving programs (incl. every "
                         "auto-batch bucket and /suggest) before "
                         "accepting traffic")
+    p.add_argument("--max-bulk-backlog", type=int, default=32,
+                   help="bulk-class admission cap: when this many bulk "
+                        "requests (full-res, batch, global) already "
+                        "queue, further ones get 429 + Retry-After "
+                        "(0 = unbounded)")
+    p.add_argument("--rss-cap-mb", type=float, default=0,
+                   help="drain-and-recycle the worker (re-exec in place, "
+                        "sessions preserved, listener kept open) when "
+                        "VmRSS crosses this; mitigates the tunnel "
+                        "transport's upload-RSS leak (0 = off)")
+    p.add_argument("--rss-growth-cap-mb", type=float, default=0,
+                   help="like --rss-cap-mb but relative: recycle when "
+                        "VmRSS grows this much beyond its post-warmup "
+                        "baseline (robust to backend/model footprint)")
     args = p.parse_args(argv)
+    # test/ops hook: the axon plugin ignores the JAX_PLATFORMS env var, so
+    # offer explicit backend selection (survives the recycle exec)
+    plat = os.environ.get("IDEEPCOLOR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     from ..config import bundled_weights, enable_persistent_compile_cache
     enable_persistent_compile_cache()
     # out-of-box behavior: fall back to the committed on-chip-trained
@@ -954,14 +1222,37 @@ def main(argv=None):
                       maskcent=args.pytorch_maskcent, use_mesh=args.mesh,
                       dtype=args.dtype, auto_batch=args.auto_batch,
                       glob_weights=args.glob_weights,
-                      student_weights=args.student_weights)
+                      student_weights=args.student_weights,
+                      max_bulk_backlog=args.max_bulk_backlog)
+    service = srv.RequestHandlerClass.service
     if args.warmup:
         print("warming serving programs ...", flush=True)
-        srv.RequestHandlerClass.service.warmup(suggest=True)
+        service.warmup(suggest=True)
         print("warmup done")
+    replay = os.environ.pop("IDEEPCOLOR_REPLAY_SESSIONS", None)
+    if replay and os.path.exists(replay):
+        n = service.replay_sessions(replay)
+        os.unlink(replay)
+        gen = os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "?")
+        print(f"# recycle gen {gen}: replayed {n} sessions", flush=True)
+    cap = args.rss_cap_mb
+    if args.rss_growth_cap_mb > 0:
+        from ..utils.soakload import rss_mb
+        grown = rss_mb() + args.rss_growth_cap_mb   # post-warmup baseline
+        cap = min(cap, grown) if cap > 0 else grown
+    if cap > 0:
+        # the guard re-execs THIS command line; module form keeps the
+        # package's relative imports working after exec
+        RecycleGuard(service, srv, cap,
+                     [sys.executable, "-m", "ideepcolor_tpu.apps.serve"]
+                     + list(argv if argv is not None else sys.argv[1:])
+                     ).start()
+        print(f"# recycle guard armed: cap {cap:.0f} MB "
+              f"(gen {os.environ.get('IDEEPCOLOR_RECYCLE_GEN', '0')})",
+              flush=True)
     print(f"serving on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]}  (POST /colorize, /colorize_batch; "
-          f"GET /healthz)")
+          f"GET /healthz)", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -57,16 +57,30 @@ def open_warm_session(host, port, body: bytes, warm_kinds=("click",),
 
 def run_clients(host, port, conns, body: bytes, secs: float, mix,
                 size: int = 256, timeout: float = 600,
-                on_reconnect=None):
+                on_reconnect=None, retry_busy: bool = False,
+                counters: dict | None = None):
     """Drive ``len(conns)`` concurrent clients for ``secs`` seconds,
     each cycling the request-kind ``mix``; coordinates hash over the
     valid [3, size-4) range. Returns ``({kind: [latency_s]},
-    [error_status])`` — only non-5xx responses record a latency."""
+    [error_status])`` — only 2xx responses record a latency; non-2xx
+    statuses go to the error list (and, keyed by status, into
+    ``counters`` if given).
+
+    retry_busy: treat 429/503 as backpressure (the server sheds or is
+    recycling) — honor Retry-After (capped at 5 s) and retry the SAME
+    request instead of recording an error. OSError reconnects also retry
+    the same request. ``counters`` then carries the shed/drain/reconnect
+    evidence: {"429": n, "503": n, "reconnects": n, ...}."""
     lat = {k: [] for k in dict.fromkeys(mix)}
     errors: list = []
     lock = threading.Lock()
     coord_mod = max(size - 6, 1)
     stop_at = time.time() + secs
+
+    def bump(key):
+        if counters is not None:
+            with lock:
+                counters[key] = counters.get(key, 0) + 1
 
     def client(ci):
         cc, sid = conns[ci]
@@ -79,20 +93,30 @@ def run_clients(host, port, conns, body: bytes, secs: float, mix,
                 t0 = time.perf_counter()
                 _request(cc, kind, sid, body, y, x)
                 r = cc.getresponse()
+                retry_after = r.getheader("Retry-After")
                 r.read()
                 dt = time.perf_counter() - t0
+                if retry_busy and r.status in (429, 503):
+                    bump(str(r.status))
+                    time.sleep(min(float(retry_after or 1), 5.0))
+                    continue               # same i: retry this request
                 with lock:
-                    if r.status >= 500:
+                    if r.status >= 300:
                         errors.append(r.status)
                     else:
                         lat[kind].append(dt)
+                bump(str(r.status))
             except OSError as e:
-                with lock:
-                    errors.append(599)
+                bump("reconnects")
+                if not retry_busy:
+                    with lock:
+                        errors.append(599)
                 if on_reconnect is not None:
                     on_reconnect(ci, e)
                 cc = http.client.HTTPConnection(host, port,
                                                 timeout=timeout)
+                if retry_busy:
+                    continue               # retry the same request
             i += 1
 
     threads = [threading.Thread(target=client, args=(ci,))
