@@ -37,6 +37,11 @@ def parse_args(argv=None):
                     help="hint patch half-width (patch = (2*half+1)^2)")
     ap.add_argument("--out", type=str, default="",
                     help="also write the curve as JSON")
+    ap.add_argument("--fidelity", action="store_true",
+                    help="also report hint-fidelity metrics (adherence "
+                         "ΔE incl. counterfactual colors, influence "
+                         "radius) — the interaction contract, "
+                         "corpus-size independent")
     ap.add_argument("--save-grid", type=str, default="",
                     help="write a contact sheet PNG: one row per eval "
                          "image, one column per hint count (+ ground "
@@ -221,6 +226,175 @@ def save_colorization_grid(params, images, counts, path, maskcent=0.0,
     return path
 
 
+# ---- hint fidelity (the paper's interaction contract, measured) ----
+#
+# Corpus-size-independent behavioral metrics (VERDICT r2 task 4): PSNR on a
+# 12-photo corpus can't differentiate model capacity, but whether the output
+# actually ADOPTS a clicked color locally — and how far one click reaches —
+# is checkable on any image set. Protocol anchors: the GUI paints the exact
+# clicked ab under a mask patch (ref ui/gui_draw.py:272-286) and the paper's
+# premise is that the net propagates it to the surrounding region.
+
+_FIDELITY_BINS = 128        # 2-px-wide distance bins -> profile to 256 px
+
+
+@functools.lru_cache(maxsize=8)
+def make_fidelity_step(maskcent: float, half: int):
+    """(params, rgb01 NHWC, key, count, rot_deg) ->
+    (adhere, adhere0, mass, area) per image:
+
+    - adhere: mean ab-plane ΔE (CIE76 at matched L) between the hint
+      target color and the model output over the hint pixels — hint
+      adherence. The target is the ground-truth patch-mean ab rotated by
+      ``rot_deg`` in the ab plane and projected back into the sRGB gamut
+      at the image L (rot 0 = the GT hint; rot 180 = a counterfactual
+      color the image prior argues against — adopting it is the paper's
+      "user wins" contract).
+    - adhere0: the same ΔE for the ZERO-hint output at the same pixels
+      (the baseline the hint must beat).
+    - mass/area: influence profile of the FIRST hint — sum and pixel
+      count of |Δab|(with-hint vs no-hint) in 2-px distance bins around
+      the click (meaningful at count=1; the host reduces to r50/r90).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import siggraph
+    from ..ops import colorspace
+    from ..train.hints_sim import (MAX_POINTS, _gaussian_locations,
+                                   _reveal_batch)
+
+    def snap_plane(l, ab, iters=5):
+        # fixed-iteration gamut projection (the GUI's snap_ab loop,
+        # ref data/lab_gamut.py:28-52, unrolled for a full plane)
+        lab = jnp.concatenate([l, ab], -1)
+        for _ in range(iters):
+            lab = lab.at[..., 0].set(l[..., 0])
+            lab = colorspace.rgb_to_lab(colorspace.lab_to_rgb(lab))
+        return lab[..., 1:]
+
+    @jax.jit
+    def step(params, rgb, key, count, rot_deg):
+        lab = colorspace.rgb_to_lab(rgb)
+        l, gt_ab = lab[..., :1], lab[..., 1:]
+        n, h, w, _ = gt_ab.shape
+        loc = _gaussian_locations(key, n, h, w)
+        halves = jnp.full((n, MAX_POINTS), half, jnp.int32)
+        alive = ((jnp.arange(MAX_POINTS)[None]
+                  < jnp.asarray(count, jnp.int32))
+                 & jnp.ones((n, 1), bool))
+        hint_ab, hint_mask = _reveal_batch(gt_ab, loc, halves, alive)
+        th = jnp.deg2rad(jnp.asarray(rot_deg, jnp.float32))
+        rot = jnp.stack(
+            [hint_ab[..., 0] * jnp.cos(th) - hint_ab[..., 1] * jnp.sin(th),
+             hint_ab[..., 0] * jnp.sin(th) + hint_ab[..., 1] * jnp.cos(th)],
+            -1)
+        # counterfactual mode (rot != 0) floors the chroma at 25: rotating
+        # a near-gray GT hint would be vacuous (target ~= prior ~= 0);
+        # a saturated off-prior color is the actual "user wins" test.
+        # GT mode (rot == 0) keeps the exact patch-mean hint.
+        chroma = jnp.linalg.norm(rot, axis=-1, keepdims=True)
+        floored = rot * (jnp.maximum(chroma, 25.0)
+                         / jnp.maximum(chroma, 1e-6))
+        rot = jnp.where(th != 0.0, floored, rot)
+        target_ab = snap_plane(l, rot) * hint_mask
+        zeros_ab = jnp.zeros_like(target_ab)
+        pred = siggraph.apply(params, l - 50.0, target_ab, hint_mask,
+                              maskcent)
+        pred0 = siggraph.apply(params, l - 50.0, zeros_ab,
+                               jnp.zeros_like(hint_mask), maskcent)
+        m = hint_mask[..., 0]
+        npix = jnp.maximum(m.sum((1, 2)), 1.0)
+        dE = jnp.linalg.norm(pred - target_ab, axis=-1)
+        adhere = (dE * m).sum((1, 2)) / npix
+        dE0 = jnp.linalg.norm(pred0 - target_ab, axis=-1)
+        adhere0 = (dE0 * m).sum((1, 2)) / npix
+        diff = jnp.linalg.norm(pred - pred0, axis=-1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        cy = loc[:, 0, 0].astype(jnp.float32)[:, None, None]
+        cx = loc[:, 0, 1].astype(jnp.float32)[:, None, None]
+        r = jnp.sqrt((ys[None] - cy) ** 2 + (xs[None] - cx) ** 2)
+        bins = jnp.clip((r / 2.0).astype(jnp.int32), 0,
+                        _FIDELITY_BINS - 1)
+        idx = jnp.arange(n)[:, None, None]
+        mass = jnp.zeros((n, _FIDELITY_BINS)).at[idx, bins].add(diff)
+        area = jnp.zeros((n, _FIDELITY_BINS)).at[idx, bins].add(1.0)
+        return adhere, adhere0, mass, area
+
+    return step
+
+
+def _mass_radius(mass, frac: float) -> float:
+    """Radius (px) containing ``frac`` of the total influence mass, from
+    the summed 2-px-bin profile (linear interp inside the crossing bin)."""
+    import numpy as np
+    c = np.cumsum(mass)
+    total = c[-1]
+    if total <= 0:
+        return 0.0
+    tgt = frac * total
+    i = int(np.searchsorted(c, tgt))
+    prev = c[i - 1] if i else 0.0
+    within = (tgt - prev) / max(mass[i], 1e-9)
+    return float((i + within) * 2.0)
+
+
+def hint_fidelity(params, images, batch: int = 8, seed: int = 0,
+                  maskcent: float = 0.0, half: int = 2,
+                  counts=(1, 5, 25), rotations=(0.0, 180.0)) -> dict:
+    """-> flat metrics dict:
+
+    - ``deltaE_h{k}_rot{r}``: mean hint-adherence ΔE over all images for
+      k hints at ab rotation r (0 = GT color, 180 = counterfactual);
+    - ``deltaE_h{k}_rot{r}_nohint``: the zero-hint baseline at the same
+      pixels/targets (how far the prior is from the hint color);
+    - ``radius_r50_px`` / ``radius_r90_px``: radius containing 50% / 90%
+      of a single GT hint's influence mass (|Δab| vs the 0-hint output).
+
+    images: array or chunk iterable as in :func:`evaluate`.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    counts = list(dict.fromkeys(int(k) for k in counts))
+    rotations = list(dict.fromkeys(float(r) for r in rotations))
+    if isinstance(images, np.ndarray):
+        arr = images
+        images = (arr[i:i + batch] for i in range(0, len(arr), batch))
+    step = make_fidelity_step(maskcent, half)
+    sums = {(k, r): [0.0, 0.0] for k in counts for r in rotations}
+    mass_total = np.zeros(_FIDELITY_BINS)
+    seen = 0
+    for ci, chunk in enumerate(images):
+        chunk = np.asarray(chunk)
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, *chunk.shape[1:]),
+                                 chunk.dtype)])
+        dev = jnp.asarray(chunk)
+        key = jax.random.key(seed + ci * batch)
+        for k in counts:
+            for r in rotations:
+                adhere, adhere0, mass, _ = step(
+                    params, dev, key, jnp.int32(k), jnp.float32(r))
+                sums[(k, r)][0] += float(np.asarray(adhere)[:n].sum())
+                sums[(k, r)][1] += float(np.asarray(adhere0)[:n].sum())
+                if k == 1 and r == 0.0:
+                    mass_total += np.asarray(mass)[:n].sum(0)
+        seen += n
+    out = {}
+    for (k, r), (a, a0) in sums.items():
+        tag = f"deltaE_h{k}_rot{int(r)}"
+        out[tag] = round(a / max(seen, 1), 3)
+        out[f"{tag}_nohint"] = round(a0 / max(seen, 1), 3)
+    out["radius_r50_px"] = round(_mass_radius(mass_total, 0.5), 1)
+    out["radius_r90_px"] = round(_mass_radius(mass_total, 0.9), 1)
+    return out
+
+
 def main(argv=None):
     args = parse_args(argv)
     from ideepcolor_tpu.config import enable_persistent_compile_cache
@@ -255,11 +429,19 @@ def main(argv=None):
     if auc is not None:
         print(f"AUC (mean PSNR over hint counts, trapezoid): "
               f"{auc:.2f} dB")
+    fid = None
+    if args.fidelity:
+        images = load_eval_images(paths, args.size)
+        fid = hint_fidelity(params, images, batch=args.batch,
+                            seed=args.seed, maskcent=args.maskcent,
+                            half=args.half)
+        for k, v in fid.items():
+            print(f"fidelity {k} = {v}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"size": args.size, "n_images": len(paths),
                        "weights": args.weights, "psnr_by_hints": curve,
-                       "auc_db": auc}, f)
+                       "auc_db": auc, "fidelity": fid}, f)
         print(f"wrote {args.out}")
     if args.save_grid:
         images = load_eval_images(paths, args.size)

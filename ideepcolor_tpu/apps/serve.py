@@ -1225,7 +1225,13 @@ def main(argv=None):
                       student_weights=args.student_weights,
                       max_bulk_backlog=args.max_bulk_backlog)
     service = srv.RequestHandlerClass.service
-    if args.warmup:
+    gen0 = os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "0") == "0"
+    if args.warmup and gen0:
+        # recycled generations skip the full warmup: with the persistent
+        # compile cache, on-demand program loads cost seconds, while a
+        # full re-warm would turn every recycle into ~a minute of
+        # downtime; gen 0 still pre-compiles everything (populating the
+        # cache the later generations hit)
         print("warming serving programs ...", flush=True)
         service.warmup(suggest=True)
         print("warmup done")
@@ -1237,8 +1243,16 @@ def main(argv=None):
         print(f"# recycle gen {gen}: replayed {n} sessions", flush=True)
     cap = args.rss_cap_mb
     if args.rss_growth_cap_mb > 0:
-        from ..utils.soakload import rss_mb
-        grown = rss_mb() + args.rss_growth_cap_mb   # post-warmup baseline
+        prior = os.environ.get("IDEEPCOLOR_RSS_CAP_ABS")
+        if prior is not None:
+            grown = float(prior)
+        else:
+            from ..utils.soakload import rss_mb
+            grown = rss_mb() + args.rss_growth_cap_mb  # post-warmup base
+            # persist the resolved ABSOLUTE watermark across the recycle
+            # exec: a recycled generation re-arming growth from its own
+            # (lower, un-warmed) baseline would recycle in a cascade
+            os.environ["IDEEPCOLOR_RSS_CAP_ABS"] = str(grown)
         cap = min(cap, grown) if cap > 0 else grown
     if cap > 0:
         # the guard re-execs THIS command line; module form keeps the
