@@ -395,20 +395,51 @@ def bench_dist_fused_click(extras):
     l_win_pad = jnp.zeros((hb, wb, 1), jnp.float32)
     rh = jnp.asarray(cubic_resize_matrix_np(256, win, hb))
     rw = jnp.asarray(cubic_resize_matrix_np(256, win, wb))
+    rh_np = np.asarray(rh)
+    rw_np = np.asarray(rw)
+    l_win_np = np.zeros((hb, wb, 1), np.float32)
     m.net_forward_table(boxes, vals, 1)         # previous frame
-    m.net_forward_table_win_suggest(boxes, vals, 1, l_win_pad, rh, rw,
-                                    d, 130, 150, K=9)       # compile
+    # HOST-window variant (the GUI default on this transport): one device
+    # dispatch returns net frame + palette (~196 KB + 30 floats); the
+    # window frame composes on host — vs the device-window variant whose
+    # 512px frame readback (~786 KB at 7-14 MB/s) dominated r02's 96 ms
+    m.net_forward_table_suggest_host(boxes, vals, 1, l_win_np, rh_np,
+                                     rw_np, d, 130, 150, K=9)   # compile
     ts = []
     for i in range(20):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         vals[1] = [10, 20]
         t0 = time.perf_counter()
-        m.net_forward_table_win_suggest(boxes, vals, 2, l_win_pad, rh, rw,
-                                        d, 100 + i, 100, K=9)
+        m.net_forward_table_suggest_host(boxes, vals, 2, l_win_np, rh_np,
+                                         rw_np, d, 100 + i, 100, K=9)
         ts.append(time.perf_counter() - t0)
     ts = np.sort(ts) * 1000.0
     extras["dist_click_fused_p50_ms"] = round(float(ts[10]), 2)
     extras["dist_click_fused_p95_ms"] = round(float(ts[18]), 2)
+    # device-window variant kept for the decomposition record
+    m.net_forward_table_win_suggest(boxes, vals, 1, l_win_pad, rh, rw,
+                                    d, 130, 150, K=9)       # compile
+    ts3 = []
+    for i in range(20):
+        boxes[1] = [100 + i, 100, 106 + i, 106]
+        t0 = time.perf_counter()
+        m.net_forward_table_win_suggest(boxes, vals, 2, l_win_pad, rh, rw,
+                                        d, 100 + i, 100, K=9)
+        ts3.append(time.perf_counter() - t0)
+    extras["dist_click_devwin_p50_ms"] = round(
+        float(np.sort(ts3)[10]) * 1000.0, 2)
+    # plain (non-dist) GUI window click, host-compose variant — the
+    # default GUI click cost on this transport
+    m.net_forward_table_win_host(boxes, vals, 1, l_win_np, rh_np, rw_np)
+    ts4 = []
+    for i in range(20):
+        boxes[1] = [100 + i, 100, 106 + i, 106]
+        t0 = time.perf_counter()
+        m.net_forward_table_win_host(boxes, vals, 2, l_win_np, rh_np,
+                                     rw_np)
+        ts4.append(time.perf_counter() - t0)
+    extras["win_click_host_p50_ms"] = round(
+        float(np.sort(ts4)[10]) * 1000.0, 2)
     ts2 = []
     for i in range(20):
         boxes[1] = [100 + i, 100, 106 + i, 106]

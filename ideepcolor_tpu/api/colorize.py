@@ -51,6 +51,34 @@ def rgb2lab_transpose(img_rgb) -> np.ndarray:
     return np.asarray(P.rgb_to_lab_dev(jnp.asarray(rgb))).transpose(2, 0, 1)
 
 
+def compose_window_host(net_rgb_u8, l_win_pad, rh, rw) -> np.ndarray:
+    """Window-size display frame composed ON HOST from the net-res frame.
+
+    Same math as the device chain (requantized-uint8 ab ->
+    zoom_with_matrices -> truncating lab2rgb u8, engine/pipeline
+    make_table_click_win_program) via the native host runtime
+    (ops.host / native/hostops.cpp) + BLAS matmuls — mirroring the
+    reference's own CPU window compose (ref ui/gui_draw.py:280-284).
+    Exists because over the tunnel transport the window frame's readback
+    bytes (~786 KB at 512 px) dominate the click; the host path reads
+    back only the ~196 KB net frame the GUI needs anyway.
+
+    net_rgb_u8 (S,S,3) uint8; l_win_pad (Hb,Wb,1) float L plane;
+    rh (Hb,S) / rw (Wb,S) float32 data-resize matrices -> (Hb,Wb,3) u8.
+    """
+    from ..ops import host
+    ab = host.rgb2lab_u8(net_rgb_u8)[..., 1:]
+    rh = np.asarray(rh, np.float32)
+    rwT = np.asarray(rw, np.float32).T
+    # per-channel GEMM chains + the planar native kernel: no interleaved
+    # Lab intermediate is ever materialized (copies cost milliseconds on
+    # this 1-cpu host)
+    a = rh @ np.ascontiguousarray(ab[..., 0]) @ rwT
+    b = rh @ np.ascontiguousarray(ab[..., 1]) @ rwT
+    return host.lab2rgb_u8_planar(
+        np.asarray(l_win_pad, np.float32)[..., 0], a, b)
+
+
 def _to_float01(img) -> np.ndarray:
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[-1] != 3:
@@ -380,6 +408,80 @@ class ColorizeImageBase:
         self.output_rgb = rgb          # device-resident, lazy readback
         self._set_out_ab_()
         return np.asarray(win), np.asarray(colors)
+
+    def net_forward_table_win_host(self, boxes, values, count,
+                                   l_win_pad_np, rh_np, rw_np):
+        """Table click with the window frame composed ON HOST.
+
+        Transport-shaped twin of :meth:`net_forward_table_win`: over the
+        tunneled chip, readback bandwidth (~7-14 MB/s) dominates the
+        click, and the 512-px window frame costs ~4x the net-res frame's
+        bytes. Reads back ONLY the net frame (~196 KB), then the host
+        runtime (ops.host native lib) reproduces the exact device chain
+        (requantized-uint8 ab -> data-matrix zoom -> truncating lab2rgb,
+        the reference's own host compose, ref ui/gui_draw.py:280-284).
+        All args are HOST arrays here. Returns the padded window frame.
+        """
+        out = self.net_forward_table(boxes, values, count)
+        if isinstance(out, int):
+            return -1
+        return compose_window_host(out, l_win_pad_np, rh_np, rw_np)
+
+    def net_forward_table_suggest_host(self, boxes, values, count,
+                                       l_win_pad_np, rh_np, rw_np,
+                                       dist_model, h, w, K=9, N=25000):
+        """Dist-session GUI click, host-window variant: ONE device
+        dispatch returns the net frame + suggestion palette; the window
+        frame is composed on host from the net frame (see
+        net_forward_table_win_host for why this wins on the tunnel).
+        Returns (win_padded, colors) or -1 (same conditions as the
+        device-window variant)."""
+        if not self.img_l_set or not self.net_set:
+            return -1
+        fwd = getattr(self, "_fwd_tbl", None)
+        dist_dev = getattr(dist_model, "_dev_dist", None)
+        if fwd is None or dist_dev is None:
+            return -1
+        prev = self._dev_output_rgb
+        if prev is None:
+            if self._output_rgb_np is None:
+                return -1
+            prev = jnp.asarray(self._output_rgb_np)
+        div = getattr(dist_model, "dist_map_div", 1)
+        cache = getattr(self, "_click_sugh_cache", None)
+        if cache is None:
+            cache = self._click_sugh_cache = {}
+        prog = cache.get((K, N, div))
+        if prog is None:
+            prog = cache[(K, N, div)] = (
+                P.make_table_click_suggest_program(
+                    fwd, self.Xd, K=K, N=N, map_div=div))
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        dist_model._rng_key, sub = jax.random.split(dist_model._rng_key)
+        packed, out_ab = prog(
+            self._dev_l_net, self._dev_l_mc, self.params,
+            jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(values, jnp.float32), jnp.int32(count),
+            dist_dev, jnp.int32(h), jnp.int32(w),
+            dist_model._dev_pts(), prev, sub)
+        self._dev_output_ab = out_ab
+        try:                  # overlap the device->host copy with device
+            packed.copy_to_host_async()    # execution tail + host python
+        except AttributeError:
+            pass
+        packed_np = np.asarray(packed)     # the ONLY readback (one RPC):
+        rgb_np = packed_np[:self.Xd]       # frame rows + palette row
+        colors = packed_np[self.Xd, :K + 1].astype(np.float32) / 255.0
+        self.output_rgb = rgb_np
+        self._set_out_ab_()
+        win = compose_window_host(rgb_np, l_win_pad_np, rh_np, rw_np)
+        return win, colors
 
     def net_forward_fullres(self, input_ab, input_mask):
         """Forward + full-res reconstruction in ONE device dispatch.

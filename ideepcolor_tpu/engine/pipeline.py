@@ -260,6 +260,50 @@ def make_table_click_win_suggest_program(apply_fn, size: int, K: int = 9,
     return click
 
 
+def make_table_click_suggest_program(apply_fn, size: int, K: int = 9,
+                                     N: int = 25000, map_div: int = 1):
+    """Dist-session click + suggestions WITHOUT the device window frame.
+
+    Transport-shaped variant of make_table_click_win_suggest_program: on
+    the tunneled chip the dominant per-click cost is READBACK BANDWIDTH
+    (~7-14 MB/s), and the 512-px window frame is ~786 KB vs the net-res
+    frame's ~196 KB. The reference composes its window frame on the host
+    CPU anyway (ref ui/gui_draw.py:280-284, cv2.resize + concat +
+    lab2rgb); the host runtime (ops.host, native/hostops.cpp) does the
+    same from the net frame, so only ONE buffer ever crosses the tunnel:
+    the palette is PACKED into an extra frame row (each np.asarray is a
+    full sync RPC, ~25-30 ms — a second readback for 30 floats would
+    forfeit half the win). Returns (packed, out_ab) where packed is
+    (size+1, size, 3) uint8: packed[:size] the frame, packed[size, :K+1]
+    the palette (row 0 = previous frame's click pixel, exact; suggestion
+    rows quantized to 1/255, below display precision).
+    """
+    from ..ops import kmeans as km
+    from ..ops.hints import rasterize_hints
+
+    @jax.jit
+    def click(l_net, l_mc, params, boxes, values, count,
+              dist_map, h, w, centers_tbl, prev_rgb, key):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        pred = apply_fn(params, l_mc, ab[None], mask[None])[0]
+        rgb = compose_rgb_u8(l_net, pred)
+        out_ab = requantized_ab(rgb)
+        pdf = dist_map[h // map_div, w // map_div, :]
+        centers, _conf = km.ab_recommendations(pdf, centers_tbl, key,
+                                               K=K, N=N)
+        L = jnp.full((K, 1), l_net[h, w, 0], jnp.float32)
+        colors = jnp.clip(
+            cs.lab_to_rgb(jnp.concatenate([L, centers], axis=1)[:, None, :]),
+            0.0, 1.0)[:, 0, :]
+        pal = jnp.concatenate(
+            [prev_rgb[h, w][None].astype(jnp.uint8),
+             jnp.round(colors * 255.0).astype(jnp.uint8)], axis=0)
+        row = jnp.zeros((1, size, 3), jnp.uint8).at[0, :K + 1].set(pal)
+        return jnp.concatenate([rgb, row], axis=0), out_ab
+
+    return click
+
+
 def make_table_suggest_program(dist_fwd, size: int, K: int = 9,
                                N: int = 25000, map_div: int = 4):
     """Serving suggest: hint-table dist forward + CMF sampling + k-means

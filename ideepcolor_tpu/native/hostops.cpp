@@ -53,6 +53,51 @@ inline double lab_finv(double ft) {
   return ft > 6.0 / 29.0 ? ft * ft * ft : (116.0 * ft - 16.0) / kKappa;
 }
 
+// ---- single-core fast paths (this host exposes ONE cpu; the per-pixel
+// pow() calls dominate the window compose) ----
+
+// Exact 256-entry LUT: srgb_to_linear(v/255) for uint8 inputs.
+struct U8LinearLut {
+  double t[256];
+  U8LinearLut() {
+    for (int i = 0; i < 256; ++i) t[i] = srgb_to_linear(i / 255.0);
+  }
+};
+const U8LinearLut& u8_linear_lut() {
+  static const U8LinearLut lut;   // thread-safe static init
+  return lut;
+}
+
+// linear -> srgb gamma encode via a sqrt-indexed LUT + lerp. Indexing by
+// u = sqrt(v) bounds the curve's derivative over the LUT domain (the pow
+// branch only applies for v > 0.0031308; the linear branch is computed
+// exactly), so 4096 entries give ~3e-8 abs error — far below the 1/255
+// uint8 quantization step.
+constexpr int kGammaLutN = 4096;
+struct GammaLut {
+  double t[kGammaLutN + 2];
+  GammaLut() {
+    for (int i = 0; i <= kGammaLutN + 1; ++i) {
+      const double u = std::min(double(i) / kGammaLutN, 1.0);
+      t[i] = 1.055 * std::pow(u, 2.0 / 2.4) - 0.055;
+    }
+  }
+};
+const GammaLut& gamma_lut() {
+  static const GammaLut lut;
+  return lut;
+}
+
+inline double linear_to_srgb_fast(double v) {
+  if (v <= 0.0031308) return v * 12.92;
+  if (v >= 1.0) return 1.0;
+  const double x = std::sqrt(v) * kGammaLutN;
+  const int i = int(x);
+  const double f = x - i;
+  const double* t = gamma_lut().t;
+  return t[i] + (t[i + 1] - t[i]) * f;
+}
+
 }  // namespace
 
 extern "C" {
@@ -106,7 +151,53 @@ void lab2rgb_u8(const float* lab, uint8_t* out, int64_t n) {
     for (int c = 0; c < 3; ++c) {
       double v = kXYZ2RGB[c][0] * xyz[0] + kXYZ2RGB[c][1] * xyz[1] +
                  kXYZ2RGB[c][2] * xyz[2];
-      v = std::min(std::max(linear_to_srgb(v), 0.0), 1.0);
+      // LUT gamma encode (~3e-8 abs error, far below the 1/255 step the
+      // truncation below quantizes to)
+      v = std::min(std::max(linear_to_srgb_fast(v), 0.0), 1.0);
+      out[3 * i + c] = static_cast<uint8_t>(v * 255.0);
+    }
+  }
+}
+
+// uint8 rgb (N,3) -> lab (N,3) float32. Exact (the 256-entry
+// linearization LUT is exact for uint8 inputs; cbrt stays analytic) and
+// ~4x faster than rgb2lab_f32's per-pixel pow on one core.
+void rgb2lab_u8f(const uint8_t* rgb, float* lab, int64_t n) {
+  const double* lin_lut = u8_linear_lut().t;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double lin[3], xyz[3];
+    for (int c = 0; c < 3; ++c) lin[c] = lin_lut[rgb[3 * i + c]];
+    for (int c = 0; c < 3; ++c)
+      xyz[c] = kRGB2XYZ[c][0] * lin[0] + kRGB2XYZ[c][1] * lin[1] +
+               kRGB2XYZ[c][2] * lin[2];
+    const double fx = lab_f(xyz[0] / kWhite[0]);
+    const double fy = lab_f(xyz[1] / kWhite[1]);
+    const double fz = lab_f(xyz[2] / kWhite[2]);
+    lab[3 * i + 0] = static_cast<float>(116.0 * fy - 16.0);
+    lab[3 * i + 1] = static_cast<float>(500.0 * (fx - fy));
+    lab[3 * i + 2] = static_cast<float>(200.0 * (fy - fz));
+  }
+}
+
+// Planar Lab -> interleaved uint8 RGB: l (N,), a (N,), b (N,) -> out
+// (N,3). Fused variant for the host window compose: takes the GEMM
+// outputs directly as planes, so no interleaved Lab array is ever
+// materialized (those copies cost real milliseconds on this 1-cpu
+// host). Same truncation semantics as lab2rgb_u8.
+void lab2rgb_u8_planar(const float* l, const float* a, const float* b,
+                       uint8_t* out, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double fy = (l[i] + 16.0) / 116.0;
+    const double fx = fy + a[i] / 500.0;
+    const double fz = fy - b[i] / 200.0;
+    const double xyz[3] = {lab_finv(fx) * kWhite[0], lab_finv(fy) * kWhite[1],
+                           lab_finv(fz) * kWhite[2]};
+    for (int c = 0; c < 3; ++c) {
+      double v = kXYZ2RGB[c][0] * xyz[0] + kXYZ2RGB[c][1] * xyz[1] +
+                 kXYZ2RGB[c][2] * xyz[2];
+      v = std::min(std::max(linear_to_srgb_fast(v), 0.0), 1.0);
       out[3 * i + c] = static_cast<uint8_t>(v * 255.0);
     }
   }

@@ -72,8 +72,11 @@ def get_lib():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.rgb2lab_f32.argtypes = [f32p, f32p, ctypes.c_int64]
+    lib.rgb2lab_u8f.argtypes = [u8p, f32p, ctypes.c_int64]
     lib.lab2rgb_f32.argtypes = [f32p, f32p, ctypes.c_int64]
     lib.lab2rgb_u8.argtypes = [f32p, u8p, ctypes.c_int64]
+    lib.lab2rgb_u8_planar.argtypes = [f32p, f32p, f32p, u8p,
+                                      ctypes.c_int64]
     lib.rasterize_hints.argtypes = [i32p, f32p, ctypes.c_int32,
                                     ctypes.c_int32, ctypes.c_int32,
                                     f32p, f32p]
@@ -136,6 +139,20 @@ def rgb2lab(rgb: np.ndarray) -> np.ndarray:
     return out
 
 
+def rgb2lab_u8(rgb_u8: np.ndarray) -> np.ndarray:
+    """(..., 3) uint8 sRGB -> Lab float32. Exact (uint8-domain LUT
+    linearization) and ~4x faster than the float path on one core."""
+    lib = get_lib()
+    if lib is None:
+        return _np_rgb2lab(rgb_u8.astype(np.float32) / 255.0)
+    rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+    out = np.empty(rgb_u8.shape, np.float32)
+    lib.rgb2lab_u8f(rgb_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    rgb_u8.size // 3)
+    return out
+
+
 def lab2rgb(lab: np.ndarray) -> np.ndarray:
     lib = get_lib()
     lab = _f32(lab)
@@ -158,6 +175,29 @@ def lab2rgb_u8(lab: np.ndarray) -> np.ndarray:
     lib.lab2rgb_u8(lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                    lab.size // 3)
+    return out
+
+
+def lab2rgb_u8_planar(l: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """Planar l/a/b (H,W) planes -> uint8 RGB (H,W,3) with the reference
+    truncation semantics; fused path that takes GEMM outputs directly
+    (no interleaved Lab array materialized)."""
+    shape = a.shape
+    l = _f32(l).reshape(shape)
+    a = _f32(a)
+    b = _f32(b)
+    lib = get_lib()
+    if lib is None:
+        lab = np.stack([l, a, b], -1)
+        return (np.clip(_np_lab2rgb(lab), 0, 1) * 255).astype(np.uint8)
+    out = np.empty((*shape, 3), np.uint8)
+    lib.lab2rgb_u8_planar(
+        l.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        l.size)
     return out
 
 

@@ -87,6 +87,12 @@ class GUIDraw(QWidget):
         self.scale = win_size / float(load_size)
         self.image_file = None
         self.method = 'with_dist'
+        # window-frame compose: 'host' (default — only the net-res frame
+        # reads back over the tunnel; native host runtime composes the
+        # window) or 'device' (fused device-window programs; better on a
+        # host-attached chip where readback is not the bottleneck)
+        self._win_host = os.environ.get(
+            "IDEEPCOLOR_WIN_COMPOSE", "host") != "device"
         from ..utils.profiling import StageTimer
         self.timer = StageTimer()      # per-stage click latency record
 
@@ -160,10 +166,20 @@ class GUIDraw(QWidget):
         # INTER_CUBIC matrices: the reference's ab->window resize is
         # cv2.INTER_CUBIC (ref ui/gui_draw.py:281); cubic is separable-
         # linear so the same fused program serves it as data.
-        self._dev_win_rh = jnp.asarray(
-            cubic_resize_matrix_np(self.load_size, rh, hb))
-        self._dev_win_rw = jnp.asarray(
-            cubic_resize_matrix_np(self.load_size, rw, wb))
+        rh_np = cubic_resize_matrix_np(self.load_size, rh, hb)
+        rw_np = cubic_resize_matrix_np(self.load_size, rw, wb)
+        self._dev_win_rh = jnp.asarray(rh_np)
+        self._dev_win_rw = jnp.asarray(rw_np)
+        # host-compose twins (default click path over the tunnel
+        # transport: only the net-res frame crosses the wire, the window
+        # frame is composed by the native host runtime — see
+        # api.compose_window_host; IDEEPCOLOR_WIN_COMPOSE=device reverts
+        # to the fused device-window programs)
+        from ..ops import host as host_ops
+        self._host_win_rh = rh_np
+        self._host_win_rw = rw_np
+        self._host_l_win_pad = host_ops.rgb2lab(
+            rgb_win_pad.astype(np.float32) / 255.0)[..., :1]
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)
@@ -323,9 +339,15 @@ class GUIDraw(QWidget):
             # palette in the SAME dispatch (dist sessions)
             boxes, vals, n = self.uiControl.hint_table()
             sx, sy = self.scale_point(suggest_pos)
-            out = self.model.net_forward_table_win_suggest(
-                boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
-                self._dev_win_rw, self.dist_model, sy, sx, K=9)
+            if self._win_host:
+                out = self.model.net_forward_table_suggest_host(
+                    boxes, vals, n, self._host_l_win_pad,
+                    self._host_win_rh, self._host_win_rw,
+                    self.dist_model, sy, sx, K=9)
+            else:
+                out = self.model.net_forward_table_win_suggest(
+                    boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
+                    self._dev_win_rw, self.dist_model, sy, sx, K=9)
             if not (np.isscalar(out) and out == -1):
                 win, colors = out
                 self.result = np.ascontiguousarray(
@@ -356,10 +378,16 @@ class GUIDraw(QWidget):
             win = -1
         else:
             boxes, vals, n = self.uiControl.hint_table()
-            # fused click+window program: both frames in one dispatch
-            win = self.model.net_forward_table_win(
-                boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
-                self._dev_win_rw)
+            if self._win_host:
+                # net-frame-only readback + native host window compose
+                win = self.model.net_forward_table_win_host(
+                    boxes, vals, n, self._host_l_win_pad,
+                    self._host_win_rh, self._host_win_rw)
+            else:
+                # fused click+window program: both frames in one dispatch
+                win = self.model.net_forward_table_win(
+                    boxes, vals, n, self._dev_l_win_pad, self._dev_win_rh,
+                    self._dev_win_rw)
         if not (np.isscalar(win) and win == -1):
             self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
             self.im_ab0 = self.model.input_ab
@@ -500,7 +528,10 @@ class GUIDraw(QWidget):
         if sess is None or len(self.uiControl.userEdits) > MAX_HINTS:
             return False
         boxes, vals, n = self.uiControl.hint_table()
+        # host mode: the net frame is the display payload (4x fewer
+        # readback bytes); the window composes on host in _fetch_async
         sess.submit(boxes, vals, n,
+                    None if self._win_host else
                     (self._dev_l_win_pad, self._dev_win_rh,
                      self._dev_win_rw))
         if not self._fetch_scheduled:
@@ -515,6 +546,10 @@ class GUIDraw(QWidget):
         _seq, win = self._async.latest()
         if win is None:
             return
+        if self._win_host:
+            from ..api.colorize import compose_window_host
+            win = compose_window_host(win, self._host_l_win_pad,
+                                      self._host_win_rh, self._host_win_rw)
         self.result = np.ascontiguousarray(win[:self.win_h, :self.win_w])
         self.im_ab0 = self.model.input_ab
         self.im_mask0 = self.model.input_mask

@@ -551,3 +551,86 @@ def test_suggest_program_cache_validated_and_bounded():
     if entry.get("compiled") is not None:      # AOT supported here
         assert np.array_equal(colors_aot, colors_jit)
         assert np.allclose(conf_aot, conf_jit, atol=1e-6)
+
+
+def test_table_win_host_compose_matches_device():
+    """net_forward_table_win_host (net-frame readback + native host
+    window compose) must match the device-window program within 1 uint8
+    LSB (f32 device matmul vs host BLAS rounding), and byte-match on the
+    overwhelming majority of pixels."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.ops import hints as oh
+    from ideepcolor_tpu.ops.resize import cubic_resize_matrix_np
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    m.set_image(_rand_image(15, 64, 64))
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [20, 20, 24, 24]; vals[0] = [35.0, -25.0]
+
+    win_h, win_w = 100, 120
+    hb, wb = 128, 128
+    rng = np.random.default_rng(16)
+    l_pad = np.zeros((hb, wb, 1), np.float32)
+    l_pad[:win_h, :win_w, 0] = rng.uniform(0, 100, (win_h, win_w))
+    rh = cubic_resize_matrix_np(64, win_h, hb)
+    rw = cubic_resize_matrix_np(64, win_w, wb)
+
+    dev = m.net_forward_table_win(boxes, vals, 1, jnp.asarray(l_pad),
+                                  jnp.asarray(rh), jnp.asarray(rw))
+    host = m.net_forward_table_win_host(boxes, vals, 1, l_pad, rh, rw)
+    assert host.shape == dev.shape and host.dtype == np.uint8
+    diff = np.abs(host.astype(int) - np.asarray(dev).astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+    # and the net frame matches the plain table click exactly
+    frame_ref = m.net_forward_table(boxes, vals, 1)
+    assert np.array_equal(m.output_rgb, frame_ref)
+
+
+def test_table_suggest_host_matches_win_suggest():
+    """The host-window dist click must return the same palette as the
+    fused device-window variant (same program inputs/rng handling) and a
+    window frame within 1 LSB of the device compose."""
+    import jax.numpy as jnp
+    from ideepcolor_tpu.ops import hints as oh
+    from ideepcolor_tpu.ops.resize import cubic_resize_matrix_np
+    img = _rand_image(23, 64, 64)
+    m = api.ColorizeImageJaxCaffe(Xd=64)
+    m.prep_net(None)
+    m.set_image(img)
+    d = api.ColorizeImageJaxCaffeDist(Xd=64)
+    d.prep_net(None)
+    d.set_image(img)
+    boxes = np.zeros((oh.MAX_HINTS, 4), np.int32)
+    vals = np.zeros((oh.MAX_HINTS, 2), np.float32)
+    boxes[0] = [30, 30, 34, 34]; vals[0] = [20.0, 20.0]
+    d.predict_dist_table(boxes, vals, 0)
+    m.net_forward_table(boxes, vals, 1)      # previous frame for row 0
+
+    hb = wb = 128
+    l_pad = np.zeros((hb, wb, 1), np.float32)
+    l_pad[:100, :120, 0] = 55.0
+    rh = cubic_resize_matrix_np(64, 100, hb)
+    rw = cubic_resize_matrix_np(64, 120, wb)
+
+    import copy
+    d2 = copy.copy(d)
+    d2._rng_key = d._rng_key          # identical sampling key sequence
+    dev = m.net_forward_table_win_suggest(
+        boxes, vals, 1, jnp.asarray(l_pad), jnp.asarray(rh),
+        jnp.asarray(rw), d, 30, 30, K=5)
+    assert not (np.isscalar(dev) and dev == -1)
+    win_dev, colors_dev = dev
+    # reset the previous-frame state the first call consumed
+    m.net_forward_table(boxes, vals, 1)
+    host = m.net_forward_table_suggest_host(
+        boxes, vals, 1, l_pad, rh, rw, d2, 30, 30, K=5)
+    assert not (np.isscalar(host) and host == -1)
+    win_host, colors_host = host
+    diff = np.abs(win_host.astype(int) - np.asarray(win_dev).astype(int))
+    assert diff.max() <= 1
+    assert colors_host.shape == colors_dev.shape == (6, 3)
+    # same rng key + same device chain; the host variant's palette rides
+    # the packed frame row as uint8, so rows agree to the 1/255 step
+    assert np.allclose(colors_host, colors_dev, atol=1.01 / 255)
