@@ -9,6 +9,7 @@ One front door to every app surface (each also runs standalone as
     eval    PSNR-vs-hint-count sweep (+--save-grid contact sheet)
     video   colorize a frame stream (uint8 pipeline)
     demos   headless notebook walkthroughs (local hints, global hist)
+    fidelity  checkpoint/numerics acceptance gauntlet in one command
 """
 from __future__ import annotations
 
@@ -21,6 +22,9 @@ _COMMANDS = {
     "eval": ("ideepcolor_tpu.apps.eval", "quality evaluation"),
     "video": ("ideepcolor_tpu.apps.video", "video colorization"),
     "demos": ("ideepcolor_tpu.apps.demos", "headless demos"),
+    "fidelity": ("ideepcolor_tpu.apps.fidelity",
+                 "checkpoint/numerics acceptance (one PASS/FAIL per "
+                 "artifact; honors IDEEPCOLOR_REAL_*)"),
 }
 
 
