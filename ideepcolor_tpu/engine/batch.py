@@ -83,10 +83,53 @@ def batch_forward_frames_table(params, l_mc: jax.Array, boxes: jax.Array,
     return batch_forward_frames(params, l_mc, hint_ab, hint_mask, maskcent)
 
 
+def frame_delta_stats(a, b):
+    """(max |delta| in uint8 LSBs, fraction of exactly-equal pixels)
+    between two uint8 frame stacks. Sharded-vs-unsharded audits use this
+    instead of array_equal: DP-splitting the batch changes each device's
+    LOCAL conv batch size, and XLA's conv codegen is batch-size-dependent
+    at the float LSB, which can flip isolated uint8 pixels by 1 — the
+    accepted sharding-equivalence contract is max 1 LSB on <0.1% of
+    pixels (same framing as the TP reduction-split note in
+    __graft_entry__.dryrun_multichip)."""
+    import numpy as np
+    d = np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16))
+    return int(d.max()), float((d == 0).all(axis=-1).mean())
+
+
+def mesh_batch_align(mesh) -> int:
+    """Batch-axis alignment of a mesh: the product of every axis the
+    leading (batch) dimension shards over (`parallel.mesh.batch_sharding`
+    uses dcn x data)."""
+    return (mesh.shape.get(pmesh.DCN_AXIS, 1)
+            * mesh.shape.get(pmesh.DATA_AXIS, 1))
+
+
+def _pad_batch(n: int, align: int, *arrays):
+    """Pad each array's leading axis from n up to the next multiple of
+    ``align`` by repeating its row 0 (shape-stable; padded rows are
+    DISCARDED by the caller, so their content only has to be valid, not
+    meaningful — hint counts in padded rows ride along as copies of row
+    0, which is always a legal table). Returns (n_padded, arrays)."""
+    pad = (-n) % align
+    if pad == 0:
+        return n, arrays
+    out = []
+    for a in arrays:
+        fill = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+        out.append(jnp.concatenate([a, fill], axis=0))
+    return n + pad, tuple(out)
+
+
 def colorize_batch_table(params, images_rgb, boxes, values, counts,
                          maskcent: float = 0.0, mesh=None):
     """Table-hint form of :func:`colorize_batch`: uint8 RGB images +
-    per-image hint tables in, colorized uint8 frames out."""
+    per-image hint tables in, colorized uint8 frames out.
+
+    With ``mesh``, batches whose length does not divide the mesh's batch
+    alignment are padded (row-0 replicas) before sharding and the padded
+    frames are dropped on return — callers may pass any n >= 1.
+    """
     import numpy as np
     imgs = jnp.asarray(np.asarray(images_rgb))
     if imgs.dtype == jnp.uint8:
@@ -97,14 +140,17 @@ def colorize_batch_table(params, images_rgb, boxes, values, counts,
     l_mc = _prep_l_mc(imgs)
     mc = jnp.float32(maskcent)
     if mesh is not None:
+        n = int(l_mc.shape[0])
+        _, (l_mc, boxes, values, counts) = _pad_batch(
+            n, mesh_batch_align(mesh), l_mc, boxes, values, counts)
         fn, place = make_sharded_table_forward(mesh)
         with mesh:
             l_mc, boxes, values, counts = place(l_mc, boxes, values,
                                                 counts)
             rgb, _ab = fn(params, l_mc, boxes, values, counts, mc)
-    else:
-        rgb, _ab = batch_forward_frames_table(params, l_mc, boxes, values,
-                                              counts, mc)
+        return np.asarray(rgb)[:n]
+    rgb, _ab = batch_forward_frames_table(params, l_mc, boxes, values,
+                                          counts, mc)
     return np.asarray(rgb)
 
 
@@ -135,15 +181,15 @@ def colorize_batch(params, images_rgb, hint_ab=None, hint_mask=None,
     l_mc = _prep_l_mc(imgs)
     mc = jnp.float32(maskcent)
     if mesh is not None:
+        _, (l_mc, hint_ab, hint_mask) = _pad_batch(
+            n, mesh_batch_align(mesh), l_mc, hint_ab, hint_mask)
         fn, place = make_sharded_batch_forward(mesh)
         with mesh:
             l_mc, hint_ab, hint_mask = place(l_mc, hint_ab, hint_mask)
             rgb, _ab = fn(params, l_mc, hint_ab, hint_mask, mc)
-    else:
-        rgb, _ab = batch_forward_frames(params, l_mc, hint_ab, hint_mask,
-                                        mc)
-    import numpy as _np
-    return _np.asarray(rgb)
+        return np.asarray(rgb)[:n]
+    rgb, _ab = batch_forward_frames(params, l_mc, hint_ab, hint_mask, mc)
+    return np.asarray(rgb)
 
 
 # module-level jits: per-call wrappers would retrace/recompile the full
@@ -175,6 +221,92 @@ def make_sharded_table_forward(mesh):
         return tuple(jax.device_put(a, batch_s) for a in arrays)
 
     return fn, place_batch
+
+
+@partial(jax.jit, static_argnames=("K", "N"))
+def batch_suggest_table(params, l_mc, boxes, values, counts, hs, ws,
+                        centers_tbl, key, maskcent, K: int = 9,
+                        N: int = 25000):
+    """Batched serving suggest: per-image hint tables + click coordinates
+    -> K-color suggestion palettes, ONE program over the whole batch.
+
+    The batched form of the fused /suggest chain
+    (engine.pipeline.make_table_suggest_program): vmapped device hint
+    rasterize, ONE dist forward over the batch (the SIGGRAPH 529-way
+    head at H/4, ref models/pytorch/model.py:131,160), then a vmapped
+    CMF-sample + weighted k-means + Lab->RGB palette per image. Each
+    image draws an independent PRNG stream via fold_in(key, index).
+    Returns (colors_u8 (B,K,3), conf (B,K)); batch axis shards over the
+    mesh's data axis — per-image suggestion work is embarrassingly
+    parallel, so XLA partitions it with zero cross-device traffic.
+    """
+    from ..ops import kmeans as km
+    from ..ops.hints import rasterize_hints
+    size = l_mc.shape[1]
+    hint_ab, hint_mask = jax.vmap(
+        lambda b, v, c: rasterize_hints(b, v, c, size=size))(
+        boxes, values, counts)
+    _reg, dist_map = siggraph.apply(
+        params, l_mc, hint_ab, hint_mask, maskcent, dist=True,
+        precision_name="default", dist_lowres=True)
+
+    def one(l_img, dm, h, w, i):
+        pdf = dm[h // 4, w // 4, :]
+        centers, conf = km.ab_recommendations(
+            pdf, centers_tbl, jax.random.fold_in(key, i), K=K, N=N)
+        lum = jnp.full((K, 1), l_img[h, w, 0] + 50.0, jnp.float32)
+        colors = cs.lab_to_rgb_u8(
+            jnp.concatenate([lum, centers], axis=1)[:, None, :])[:, 0, :]
+        return colors, conf
+
+    idx = jnp.arange(l_mc.shape[0], dtype=jnp.int32)
+    return jax.vmap(one)(l_mc, dist_map, hs, ws, idx)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_suggest_for(mesh):
+    batch_s = pmesh.batch_sharding(mesh)
+    return jax.jit(batch_suggest_table, static_argnames=("K", "N"),
+                   out_shardings=(batch_s, batch_s)), batch_s
+
+
+def suggest_batch_table(params, images_rgb, boxes, values, counts, hs, ws,
+                        K: int = 9, N: int = 25000, maskcent: float = 0.0,
+                        mesh=None, seed: int = 0):
+    """Public batched /suggest: uint8 RGB images + hint tables + click
+    points in, (colors_u8 (n,K,3), conf (n,K)) out. With ``mesh`` the
+    batch shards over its data axis, padded (row-0 replicas, results
+    dropped) when n does not divide the mesh batch alignment."""
+    import numpy as np
+    from ..ops.quantize import make_pts_grid
+    imgs = jnp.asarray(np.asarray(images_rgb))
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    boxes = jnp.asarray(boxes, jnp.int32)
+    values = jnp.asarray(values, jnp.float32)
+    counts = jnp.asarray(counts, jnp.int32)
+    hs = jnp.asarray(hs, jnp.int32)
+    ws = jnp.asarray(ws, jnp.int32)
+    l_mc = _prep_l_mc(imgs)
+    centers_tbl = jnp.asarray(make_pts_grid(), jnp.float32)
+    key = jax.random.key(seed)
+    mc = jnp.float32(maskcent)
+    if mesh is not None:
+        n = int(l_mc.shape[0])
+        _, (l_mc, boxes, values, counts, hs, ws) = _pad_batch(
+            n, mesh_batch_align(mesh), l_mc, boxes, values, counts, hs, ws)
+        fn, batch_s = _sharded_suggest_for(mesh)
+        with mesh:
+            l_mc, boxes, values, counts, hs, ws = (
+                jax.device_put(a, batch_s)
+                for a in (l_mc, boxes, values, counts, hs, ws))
+            colors, conf = fn(params, l_mc, boxes, values, counts, hs, ws,
+                              centers_tbl, key, mc, K=K, N=N)
+        return np.asarray(colors)[:n], np.asarray(conf)[:n]
+    colors, conf = batch_suggest_table(params, l_mc, boxes, values, counts,
+                                       hs, ws, centers_tbl, key, mc,
+                                       K=K, N=N)
+    return np.asarray(colors), np.asarray(conf)
 
 
 def make_sharded_batch_forward(mesh):

@@ -127,6 +127,65 @@ def test_streaming_uint8_frames_match_float_path():
     assert np.array_equal(rgb8, rgbf)
 
 
+def test_colorize_batch_table_uneven_mesh_pads_and_matches():
+    """An n that does NOT divide the mesh batch alignment pads with row-0
+    replicas, shards, and returns exactly n frames equal to the unsharded
+    program (the --mesh serving contract for arbitrary bulk batches)."""
+    params = siggraph.init_params(jax.random.key(4), width=0.25)
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    mesh = pmesh.make_mesh(4, model_parallel=1)
+    assert eb.mesh_batch_align(mesh) == 4
+    n = 7                                     # 7 % 4 != 0
+    imgs = (RNG.random((n, 32, 32, 3)) * 255).astype(np.uint8)
+    boxes = np.zeros((n, MAX_HINTS, 4), np.int32)
+    values = np.zeros((n, MAX_HINTS, 2), np.float32)
+    counts = np.ones((n,), np.int32)
+    for i in range(n):
+        boxes[i, 0] = [2 * i, 4, 2 * i + 3, 8]
+        values[i, 0] = [30.0 - 5 * i, -10.0 + 4 * i]
+    out_m = eb.colorize_batch_table(params, imgs, boxes, values, counts,
+                                    mesh=mesh)
+    out_u = eb.colorize_batch_table(params, imgs, boxes, values, counts)
+    assert out_m.shape == (n, 32, 32, 3)
+    max_lsb, frac_exact = eb.frame_delta_stats(out_m, out_u)
+    assert max_lsb <= 1 and frac_exact >= 0.999, (max_lsb, frac_exact)
+    # dense-plane form pads too
+    out_dm = eb.colorize_batch(params, imgs, mesh=mesh)
+    out_du = eb.colorize_batch(params, imgs)
+    assert out_dm.shape == (n, 32, 32, 3)
+    max_lsb, frac_exact = eb.frame_delta_stats(out_dm, out_du)
+    assert max_lsb <= 1 and frac_exact >= 0.999, (max_lsb, frac_exact)
+
+
+def test_suggest_batch_table_sharded_matches_unsharded():
+    """Batched fused /suggest (dist forward + CMF + k-means + palette):
+    sharded-over-mesh equals the unsharded program, per-image PRNG streams
+    are index-stable, confidences are a valid distribution slice."""
+    params = siggraph.init_params(jax.random.key(5), width=0.25)
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    mesh = pmesh.make_mesh(4, model_parallel=1)
+    n = 5                                     # uneven on purpose
+    imgs = (RNG.random((n, 32, 32, 3)) * 255).astype(np.uint8)
+    boxes = np.zeros((n, MAX_HINTS, 4), np.int32)
+    values = np.zeros((n, MAX_HINTS, 2), np.float32)
+    counts = np.ones((n,), np.int32)
+    boxes[:, 0] = [8, 8, 12, 12]
+    values[:, 0] = [20.0, -25.0]
+    hs = np.asarray([4, 8, 12, 16, 20], np.int32)
+    ws = np.asarray([20, 16, 12, 8, 4], np.int32)
+    c_m, f_m = eb.suggest_batch_table(params, imgs, boxes, values, counts,
+                                      hs, ws, K=4, N=2000, mesh=mesh)
+    c_u, f_u = eb.suggest_batch_table(params, imgs, boxes, values, counts,
+                                      hs, ws, K=4, N=2000)
+    assert c_m.shape == (n, 4, 3) and c_m.dtype == np.uint8
+    assert f_m.shape == (n, 4)
+    assert np.array_equal(c_m, c_u)
+    assert np.allclose(f_m, f_u)
+    assert np.isfinite(f_m).all() and (f_m >= 0).all()
+    # different images at different click points produce distinct palettes
+    assert not np.array_equal(c_m[0], c_m[n - 1])
+
+
 def test_batch_table_matches_dense_planes():
     """batch_forward_frames_table (on-device rasterize from ~1.5 KB
     tables) is bit-identical to the dense-plane form for the same hints."""
