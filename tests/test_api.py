@@ -86,6 +86,7 @@ def test_load_image_large_input_capped(tmp_path):
     assert m.get_img_fullres().shape == m.img_rgb_fullres.shape
 
 
+@pytest.mark.slow
 def test_caffe_dist_suggestions():
     m = api.ColorizeImageJaxCaffeDist(Xd=64)
     m.prep_net(None, S=0.2)
@@ -105,6 +106,7 @@ def test_caffe_dist_suggestions():
     assert m.dist_entropy.shape == (64, 64)
 
 
+@pytest.mark.slow
 def test_torch_dist_backend():
     m = api.ColorizeImageJaxDist(Xd=64, maskcent=True)
     m.prep_net(path='')
@@ -279,6 +281,7 @@ def test_net_forward_fullres_async_is_self_contained(caffe_model):
     assert d.net_forward_fullres_async(ab, mask) == -1
 
 
+@pytest.mark.slow
 def test_alternate_resolution_xd128():
     """No hidden Xd=256 hardcoding: full API pass at Xd=128 (both model
     families, dist suggestion chain at Xd/4, full-res getters)."""
@@ -365,6 +368,7 @@ def test_table_win_click_matches_separate_paths():
     assert win.shape == (hb, wb, 3)
 
 
+@pytest.mark.slow
 def test_prep_net_bfloat16_serving_mode():
     """dtype='bfloat16' casts the weights for the fast MXU serving mode;
     frames stay within a few uint8 LSB of the f32 path."""
@@ -399,6 +403,7 @@ def test_prep_net_bfloat16_serving_mode():
     assert not np.isscalar(out)
 
 
+@pytest.mark.slow
 def test_net_forward_fullres_sentinel_on_multi_output_backends():
     """Backends whose click programs don't fit the (rgb, ab) contract must
     return -1 from net_forward_fullres, not crash (serving checks
@@ -426,6 +431,7 @@ def test_net_forward_fullres_sentinel_on_multi_output_backends():
 
 @pytest.mark.parametrize("cls", ["ColorizeImageJaxDist",
                                  "ColorizeImageJaxCaffeDist"])
+@pytest.mark.slow
 def test_predict_dist_table_matches_dense(cls):
     """The GUI's fast suggestion forward (hint table, no readback) must
     produce the same distribution as the dense net_forward path."""
@@ -455,6 +461,7 @@ def test_predict_dist_table_without_image():
                                 np.zeros((64, 2), np.float32), 0) == -1
 
 
+@pytest.mark.slow
 def test_suggest_table_matches_unfused_chain():
     """The ONE-dispatch serving suggest (suggest_table) must reproduce
     the unfused chain: predict_dist_table -> get_ab_reccs -> host-L
@@ -512,6 +519,7 @@ def test_suggest_table_matches_unfused_chain():
     assert fresh.suggest_table(boxes, vals, 1, h, w, K=K) == -1
 
 
+@pytest.mark.slow
 def test_suggest_program_cache_validated_and_bounded():
     """Each distinct (K, N) suggest program is a FULL dist-forward
     compile, and serve exposes k to clients — so out-of-range values
@@ -588,6 +596,7 @@ def test_table_win_host_compose_matches_device():
     assert np.array_equal(m.output_rgb, frame_ref)
 
 
+@pytest.mark.slow
 def test_table_suggest_host_matches_win_suggest():
     """The host-window dist click must return the same palette as the
     fused device-window variant (same program inputs/rng handling) and a

@@ -60,6 +60,7 @@ def test_demo_global_histogram_session():
     assert not np.array_equal(res["auto"], res["with_ref"])
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     """End-to-end training CLI: 3 steps on the reference test images."""
     import shutil
@@ -93,6 +94,7 @@ def test_train_cli_smoke(tmp_path):
         assert not np.isscalar(out) and out.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_train_cli_init_from_finetune(tmp_path):
     """--init-from: params-only checkpoint seeds training with a fresh
     optimizer (the fine-tune workflow, e.g. re-training the bundled
@@ -140,6 +142,7 @@ def test_train_cli_init_from_finetune(tmp_path):
             distill.DistillConfig(width=0.25), params=init)
 
 
+@pytest.mark.slow
 def test_train_cli_distill_smoke(tmp_path):
     """Distillation CLI: teacher ckpt -> student ckpt -> serve closes."""
     import shutil

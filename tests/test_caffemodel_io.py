@@ -1,5 +1,6 @@
 """Round-trip tests for the native .caffemodel protobuf reader."""
 import numpy as np
+import pytest
 
 import jax
 
@@ -23,6 +24,7 @@ def test_wire_roundtrip_simple():
             assert np.array_equal(a, b.reshape(a.shape))
 
 
+@pytest.mark.slow
 def test_convert_full_main_variant_executes():
     """Encode a full random 'main' caffemodel, convert, and check the
     converted params produce the same output as directly-assigned ones."""
@@ -88,6 +90,7 @@ def test_legacy_blob_dims():
     assert np.array_equal(parsed["legacy"][0], arr)
 
 
+@pytest.mark.slow
 def test_prep_net_loads_raw_caffemodel(tmp_path):
     """The API accepts a raw .caffemodel directly (native parsing)."""
     import numpy as np

@@ -49,8 +49,11 @@ from ideepcolor_tpu.ops.hints import put_point  # noqa: E402
 
 IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(IMG), reason="reference tree unavailable")
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(IMG),
+                       reason="reference tree unavailable"),
+    pytest.mark.slow,
+]
 
 BN_SCALE = 999.982  # typical caffe BatchNorm moving-average accumulator
 

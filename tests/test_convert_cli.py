@@ -27,6 +27,7 @@ def _run(args):
     return _Result(mod.main(args))
 
 
+@pytest.mark.slow
 def test_convert_torch_pth(tmp_path):
     import torch
     import importlib.util
@@ -55,6 +56,7 @@ def test_convert_torch_pth(tmp_path):
     assert out.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_convert_caffemodel(tmp_path):
     from ideepcolor_tpu.models import caffe_net, caffemodel_io as cio
     ref_params = caffe_net.init_params(jax.random.key(1), "main")
@@ -79,6 +81,7 @@ def test_convert_caffemodel(tmp_path):
                        np.asarray(ref_params["conv1_2.weight"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_convert_torch_pth_to_orbax_and_load(tmp_path):
     import torch
     import importlib.util
@@ -106,6 +109,7 @@ def test_convert_torch_pth_to_orbax_and_load(tmp_path):
     assert out.shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_export_pth_runs_under_reference_oracle(tmp_path):
     """EXPORT direction: our params -> .pth -> the reference's own
     SIGGRAPHGenerator (strict=True) must compute the same function —
@@ -154,6 +158,7 @@ def test_export_pth_runs_under_reference_oracle(tmp_path):
     assert np.max(np.abs(got - want)) < 2e-4, np.max(np.abs(got - want))
 
 
+@pytest.mark.slow
 def test_export_pth_rejects_caffe_params_cleanly(tmp_path):
     """Exporting a caffe_net-keyed checkpoint (the converter's own
     .caffemodel output format) must exit with a diagnostic, not a
@@ -173,6 +178,7 @@ def test_export_pth_rejects_caffe_params_cleanly(tmp_path):
         _run([ok, str(tmp_path / "out.pth"), "--orbax"])
 
 
+@pytest.mark.slow
 def test_corpus_manifest_gates_staleness(tmp_path, monkeypatch):
     """The corpus build writes a manifest LAST; manifest_is_current must
     reject a partial build (no manifest), a stale script version, and a

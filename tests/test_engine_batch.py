@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def test_batch_fullres_fuse_matches_single():
     assert np.mean(out[1].astype(int) != one.astype(int)) < 1e-3
 
 
+@pytest.mark.slow
 def test_sharded_batch_forward_matches_unsharded():
     params = siggraph.init_params(jax.random.key(0))
     mesh = pmesh.make_mesh(8, model_parallel=1)
@@ -127,6 +129,7 @@ def test_streaming_uint8_frames_match_float_path():
     assert np.array_equal(rgb8, rgbf)
 
 
+@pytest.mark.slow
 def test_colorize_batch_table_uneven_mesh_pads_and_matches():
     """An n that does NOT divide the mesh batch alignment pads with row-0
     replicas, shards, and returns exactly n frames equal to the unsharded
@@ -157,6 +160,7 @@ def test_colorize_batch_table_uneven_mesh_pads_and_matches():
     assert max_lsb <= 1 and frac_exact >= 0.999, (max_lsb, frac_exact)
 
 
+@pytest.mark.slow
 def test_suggest_batch_table_sharded_matches_unsharded():
     """Batched fused /suggest (dist forward + CMF + k-means + palette):
     sharded-over-mesh equals the unsharded program, per-image PRNG streams

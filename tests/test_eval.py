@@ -170,6 +170,7 @@ def _color_images(size=96, n=2):
     return load_eval_images(paths, size)
 
 
+@pytest.mark.slow
 def test_hint_fidelity_counterfactual_adopted_and_keys():
     """With the trained weights, a saturated counterfactual hint must pull
     the local output color to the USER's color: adherence ΔE with the
@@ -193,6 +194,7 @@ def test_hint_fidelity_counterfactual_adopted_and_keys():
     assert fid["radius_r90_px"] < 96 * 1.42
 
 
+@pytest.mark.slow
 def test_hint_fidelity_deterministic_and_count_swept():
     from ideepcolor_tpu.apps.eval import hint_fidelity
     params = _teacher_params()

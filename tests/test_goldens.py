@@ -113,6 +113,7 @@ def test_goldens_match():
                    _session_outputs)
 
 
+@pytest.mark.slow
 def test_goldens_match_256():
     _assert_golden(os.path.join(GOLDEN_DIR, "session_goldens_256.npz"),
                    _session_outputs_256)

@@ -143,6 +143,7 @@ def test_reset_clears_everything(gui):
     assert len(draw.uiControl.userEdits) == 0
 
 
+@pytest.mark.slow
 def test_full_window_signal_wiring(gui):
     """GUIDesign wiring: a pad click must flow into the gamut widget and
     the suggestion palette; a palette pick must recolor (ref

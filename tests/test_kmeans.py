@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 
 from ideepcolor_tpu.data import color_bins
@@ -31,6 +32,7 @@ def test_weighted_kmeans_separated_clusters():
     assert frac[0] >= frac[1] >= frac[2]
 
 
+@pytest.mark.slow
 def test_ab_recommendations_close_to_sklearn():
     """End-to-end suggestion chain vs the reference's sklearn pipeline
     (ref data/colorize_image.py:511-543) on the same distribution."""

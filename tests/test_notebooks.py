@@ -13,6 +13,8 @@ import os
 import nbformat
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NBDIR = os.path.join(REPO, "notebooks")
 REF = "/root/reference"

@@ -3,6 +3,8 @@ simulation, loss sanity, and the graft entry points."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,7 @@ Seeds come in as hypothesis integers and expand through numpy RNG —
 cheap to generate, fully reproducible from the failing seed.
 """
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 import jax
@@ -270,6 +271,7 @@ def test_uicontrol_random_ops_table_matches_dense(seed, n_ops):
 # ------------------------------------------------------------ batch serving
 @FAST
 @given(SEED)
+@pytest.mark.slow
 def test_batch_table_forward_rows_match_batch_of_one(seed):
     """Batched table serving must colorize each row exactly as a
     batch-of-1 dispatch of the same image+hints (no cross-batch state)."""
@@ -349,6 +351,7 @@ def test_caffemodel_wire_roundtrip(seed, v1):
 # ------------------------------------------------------------ torch export
 @FAST
 @given(SEED, st.sampled_from([1.0, 0.5]))
+@pytest.mark.slow
 def test_torch_state_dict_roundtrip_identity(seed, width):
     """to_torch_state_dict is a true inverse of from_torch_state_dict for
     any parameter values at any width tier (the .pth export direction of

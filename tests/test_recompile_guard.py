@@ -163,6 +163,7 @@ def test_interactive_submits_do_not_recompile(compile_log):
     assert compile_log.compiles() == []
 
 
+@pytest.mark.slow
 def test_auto_batch_buckets_bound_compiles(compile_log):
     """Bursts of every size 1..6 through the serve auto-batcher compile
     at most the power-of-two bucket programs {1,2,4,8}, not one program

@@ -201,6 +201,7 @@ def test_oversized_body_rejected_without_allocation(server):
     assert r.status == 413
 
 
+@pytest.mark.slow
 def test_suggest_endpoint(server):
     """POST /suggest returns K color recommendations at a pixel — the
     GUI suggestion palette as a service."""
@@ -310,6 +311,7 @@ def test_auto_batch_single_request_still_works(batch_server):
     assert out2.shape == (80, 96, 3)
 
 
+@pytest.mark.slow
 def test_auto_batch_mesh_alignment():
     """With --mesh, padded dispatch sizes must divide the mesh batch axes
     (a 3-request burst on an 8-device mesh pads to 8, not 4)."""
@@ -362,6 +364,7 @@ def test_auto_batch_rounds_max_batch_to_pow2():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_warmup_compiles_all_programs():
     srv = serve.make_server(port=0, size=64, auto_batch=4)
     svc = srv.RequestHandlerClass.service
@@ -463,6 +466,7 @@ def test_colorize_batch_table_hints(server):
     assert c.getresponse().status == 400
 
 
+@pytest.mark.slow
 def test_student_fast_tier(tmp_path):
     """--student-weights serves ?model=fast on the distilled student;
     both tiers work, produce different frames, and fast without a
@@ -607,6 +611,7 @@ def test_session_lru_eviction():
         svc.session_click(b, [])
 
 
+@pytest.mark.slow
 def test_session_suggest(server):
     """Session-scoped suggestions: no image re-upload; matches the
     stateless /suggest for the same image + hints."""
@@ -640,6 +645,7 @@ def test_session_suggest(server):
     assert r.status == 404
 
 
+@pytest.mark.slow
 def test_fast_tier_session(tmp_path):
     from ideepcolor_tpu.models import siggraph
     import jax
@@ -708,6 +714,7 @@ def test_session_missing_params_are_400_not_404(server):
         assert r.status == 400, p
 
 
+@pytest.mark.slow
 def test_warmup_covers_session_programs():
     svc = serve.ColorizeService(size=64)
     svc.warmup(suggest=True)
@@ -724,6 +731,7 @@ def test_warmup_covers_session_programs():
     assert isinstance(out, bytes) and len(out) > 100
 
 
+@pytest.mark.slow
 def test_malformed_request_barrage_never_wedges_server(server):
     """Random garbage against every endpoint: each gets an orderly 4xx
     and the server stays healthy afterwards."""
@@ -760,6 +768,7 @@ def test_malformed_request_barrage_never_wedges_server(server):
     assert r.status == 200 and len(r.read()) > 100
 
 
+@pytest.mark.slow
 def test_soak_control_script(monkeypatch, capsys):
     """bench.py's CPU-backend soak control (scripts/soak_control.py) runs
     in-process at size 64: same server + request mix as the TPU soak leg,

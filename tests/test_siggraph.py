@@ -107,6 +107,7 @@ def test_init_params_shapes_and_run():
     assert np.all(np.abs(out) <= 110.0)
 
 
+@pytest.mark.slow
 def test_apply_train_consistent_with_apply():
     """apply_train's outputs must equal apply's modulo the serving-only
     transformations (double-110 scale, softmax(x0.2), x4 upsample)."""
