@@ -1107,8 +1107,32 @@ def emit_results(full, extras):
     early stdout line; print a compact headline JSON (<= HEADLINE_BYTE_
     BUDGET bytes, self-checked) as the very LAST line for the driver."""
     here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    # regression net (VERDICT r2 weak #3): before overwriting, compare
+    # against the previous run's full dict with transport normalization
+    # (scripts/bench_compare.py) and report verdicts on stderr
     try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        if os.path.exists(full_path):
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "bench_compare", os.path.join(here, "scripts",
+                                              "bench_compare.py"))
+            bc = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(bc)
+            with open(full_path) as f:
+                rows, n_reg = bc.compare(json.load(f), full)
+            for r in rows:
+                if r["verdict"] not in ("ok",):
+                    print(f"# vs-prev {r['metric']}: {r['old']:.2f} -> "
+                          f"{r['new']:.2f} ({r['raw_pct']:+.1f}% raw) "
+                          f"{r['verdict']}", file=sys.stderr)
+            if n_reg:
+                print(f"# vs-prev: {n_reg} metric(s) regressed beyond "
+                      f"transport normalization", file=sys.stderr)
+    except Exception as e:
+        print(f"# vs-prev comparison failed: {e}", file=sys.stderr)
+    try:
+        with open(full_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
