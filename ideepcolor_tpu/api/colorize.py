@@ -67,14 +67,12 @@ def compose_window_host(net_rgb_u8, l_win_pad, rh, rw) -> np.ndarray:
     rh (Hb,S) / rw (Wb,S) float32 data-resize matrices -> (Hb,Wb,3) u8.
     """
     from ..ops import host
-    ab = host.rgb2lab_u8(net_rgb_u8)[..., 1:]
-    rh = np.asarray(rh, np.float32)
-    rwT = np.asarray(rw, np.float32).T
-    # per-channel GEMM chains + the planar native kernel: no interleaved
-    # Lab intermediate is ever materialized (copies cost milliseconds on
-    # this 1-cpu host)
-    a = rh @ np.ascontiguousarray(ab[..., 0]) @ rwT
-    b = rh @ np.ascontiguousarray(ab[..., 1]) @ rwT
+    # planar end-to-end: requantized ab extracted straight to planes
+    # (no interleaved Lab intermediate or de-interleave copies), banded
+    # separable zoom (native, ~60x fewer MACs than the dense GEMM chain
+    # — the matrices have <=4 nonzeros/row), fused planar lab2rgb
+    a0, b0 = host.rgb2lab_u8_ab(net_rgb_u8)
+    a, b = host.zoom2_matrices(a0, b0, rh, rw)
     return host.lab2rgb_u8_planar(
         np.asarray(l_win_pad, np.float32)[..., 0], a, b)
 

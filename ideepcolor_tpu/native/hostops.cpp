@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -181,25 +182,80 @@ void rgb2lab_u8f(const uint8_t* rgb, float* lab, int64_t n) {
 }
 
 // Planar Lab -> interleaved uint8 RGB: l (N,), a (N,), b (N,) -> out
-// (N,3). Fused variant for the host window compose: takes the GEMM
+// (N,3). Fused variant for the host window compose: takes the zoom
 // outputs directly as planes, so no interleaved Lab array is ever
 // materialized (those copies cost real milliseconds on this 1-cpu
 // host). Same truncation semantics as lab2rgb_u8.
+//
+// float arithmetic throughout: the largest relative error (~1e-6 at the
+// gamma encode) is ~4000x below the 1/255 quantization step the final
+// truncation lands on, and the hot consumer (the per-click window
+// compose) is latency-critical on one core — float halves both the
+// ALU cost and the LUT/accumulator bandwidth vs the double path. The
+// parity tests pin this path within 1 uint8 LSB of the device (f32)
+// compose, same as before.
 void lab2rgb_u8_planar(const float* l, const float* a, const float* b,
                        uint8_t* out, int64_t n) {
+  const double* gt = gamma_lut().t;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
-    const double fy = (l[i] + 16.0) / 116.0;
-    const double fx = fy + a[i] / 500.0;
-    const double fz = fy - b[i] / 200.0;
-    const double xyz[3] = {lab_finv(fx) * kWhite[0], lab_finv(fy) * kWhite[1],
-                           lab_finv(fz) * kWhite[2]};
+    const float fy = (l[i] + 16.0f) * (1.0f / 116.0f);
+    const float fx = fy + a[i] * (1.0f / 500.0f);
+    const float fz = fy - b[i] * (1.0f / 200.0f);
+    const float f3[3] = {fx, fy, fz};
+    float xyz[3];
     for (int c = 0; c < 3; ++c) {
-      double v = kXYZ2RGB[c][0] * xyz[0] + kXYZ2RGB[c][1] * xyz[1] +
-                 kXYZ2RGB[c][2] * xyz[2];
-      v = std::min(std::max(linear_to_srgb_fast(v), 0.0), 1.0);
-      out[3 * i + c] = static_cast<uint8_t>(v * 255.0);
+      const float ft = f3[c];
+      xyz[c] = float(kWhite[c]) *
+               (ft > float(6.0 / 29.0)
+                    ? ft * ft * ft
+                    : (116.0f * ft - 16.0f) * float(1.0 / kKappa));
     }
+    for (int c = 0; c < 3; ++c) {
+      float v = float(kXYZ2RGB[c][0]) * xyz[0] +
+                float(kXYZ2RGB[c][1]) * xyz[1] +
+                float(kXYZ2RGB[c][2]) * xyz[2];
+      float s;
+      if (v <= 0.0031308f) {
+        s = std::max(v * 12.92f, 0.0f);
+      } else if (v >= 1.0f) {
+        s = 1.0f;
+      } else {
+        const float x = std::sqrt(v) * kGammaLutN;
+        const int j = int(x);
+        const float f = x - j;
+        s = float(gt[j]) + (float(gt[j + 1]) - float(gt[j])) * f;
+      }
+      out[3 * i + c] = static_cast<uint8_t>(
+          std::min(std::max(s, 0.0f), 1.0f) * 255.0f);
+    }
+  }
+}
+
+// uint8 rgb (N,3) -> PLANAR a/b float32 planes, skipping L entirely:
+// the host window compose only needs the requantized ab (the window L
+// plane is already host-resident), so this saves the interleaved Lab
+// write + two strided de-interleave copies + a third of the transform.
+void rgb2lab_u8_ab_planar(const uint8_t* rgb, float* a, float* b,
+                          int64_t n) {
+  const double* lin_lut = u8_linear_lut().t;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    float lin[3], xyz[3];
+    for (int c = 0; c < 3; ++c) lin[c] = float(lin_lut[rgb[3 * i + c]]);
+    for (int c = 0; c < 3; ++c)
+      xyz[c] = float(kRGB2XYZ[c][0]) * lin[0] +
+               float(kRGB2XYZ[c][1]) * lin[1] +
+               float(kRGB2XYZ[c][2]) * lin[2];
+    float f3[3];
+    for (int c = 0; c < 3; ++c) {
+      const float t = xyz[c] * float(1.0 / kWhite[c]);
+      f3[c] = t > float(kEps) ? std::cbrt(t)
+                              : (float(kKappa) * t + 16.0f) *
+                                    (1.0f / 116.0f);
+    }
+    a[i] = 500.0f * (f3[0] - f3[1]);
+    b[i] = 200.0f * (f3[1] - f3[2]);
   }
 }
 
@@ -255,6 +311,81 @@ void zoom_bilinear_f32(const float* in, int32_t h, int32_t w, int32_t c,
       }
     }
   }
+}
+
+// Separable resize of two (S,S) planes through dense row-banded
+// interpolation matrices: out_c = rh @ X_c @ rw^T, c in {a, b}.
+//
+// The cubic/linear data-resize matrices (ops/resize.py) have <= 4
+// nonzeros per row, so the dense per-channel GEMM chain the host window
+// compose used (rh @ X @ rw^T, ~200 MFLOP at 512 px) does ~64x more
+// work than the information content. This kernel detects each row's
+// nonzero band once and applies the same contraction with only the
+// banded terms (double accumulators, so it is at least as accurate as
+// the f32 BLAS path it replaces; output stays within f32 rounding of
+// the dense product). Falls back to full rows automatically when a
+// matrix is not banded (band detection just finds first/last nonzero).
+void zoom2_banded_f32(const float* rh, int32_t H, const float* rw,
+                      int32_t W, const float* xa, const float* xb,
+                      int32_t S, float* oa, float* ob) {
+  struct Band { int32_t start, len; };
+  auto detect = [S](const float* m, int32_t rows, Band* bands) {
+    for (int32_t i = 0; i < rows; ++i) {
+      const float* row = m + int64_t(i) * S;
+      int32_t lo = 0, hi = S - 1;
+      while (lo < S && row[lo] == 0.0f) ++lo;
+      while (hi >= lo && row[hi] == 0.0f) --hi;
+      bands[i] = {lo, hi < lo ? 0 : hi - lo + 1};
+    }
+  };
+  Band* hb = new Band[H];
+  Band* wb = new Band[W];
+  detect(rh, H, hb);
+  detect(rw, W, wb);
+  // tmp_c = X_c @ rw^T, (S, W)
+  float* ta = new float[int64_t(S) * W];
+  float* tb = new float[int64_t(S) * W];
+#pragma omp parallel for schedule(static)
+  for (int32_t s = 0; s < S; ++s) {
+    const float* xrow_a = xa + int64_t(s) * S;
+    const float* xrow_b = xb + int64_t(s) * S;
+    for (int32_t y = 0; y < W; ++y) {
+      const float* wrow = rw + int64_t(y) * S + wb[y].start;
+      const float* va = xrow_a + wb[y].start;
+      const float* vb = xrow_b + wb[y].start;
+      double acc_a = 0.0, acc_b = 0.0;
+      for (int32_t k = 0; k < wb[y].len; ++k) {
+        acc_a += double(wrow[k]) * va[k];
+        acc_b += double(wrow[k]) * vb[k];
+      }
+      ta[int64_t(s) * W + y] = float(acc_a);
+      tb[int64_t(s) * W + y] = float(acc_b);
+    }
+  }
+  // out_c = rh @ tmp_c, (H, W); double row accumulators
+#pragma omp parallel for schedule(static)
+  for (int32_t i = 0; i < H; ++i) {
+    const float* hrow = rh + int64_t(i) * S;
+    std::vector<double> acc_a(W, 0.0), acc_b(W, 0.0);
+    for (int32_t k = 0; k < hb[i].len; ++k) {
+      const int32_t s = hb[i].start + k;
+      const double h = hrow[s];
+      const float* trow_a = ta + int64_t(s) * W;
+      const float* trow_b = tb + int64_t(s) * W;
+      for (int32_t y = 0; y < W; ++y) {
+        acc_a[y] += h * trow_a[y];
+        acc_b[y] += h * trow_b[y];
+      }
+    }
+    float* out_a = oa + int64_t(i) * W;
+    float* out_b = ob + int64_t(i) * W;
+    for (int32_t y = 0; y < W; ++y) out_a[y] = float(acc_a[y]);
+    for (int32_t y = 0; y < W; ++y) out_b[y] = float(acc_b[y]);
+  }
+  delete[] ta;
+  delete[] tb;
+  delete[] hb;
+  delete[] wb;
 }
 
 int num_threads() {

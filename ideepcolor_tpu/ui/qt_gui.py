@@ -176,10 +176,14 @@ class GUIDraw(QWidget):
         # api.compose_window_host; IDEEPCOLOR_WIN_COMPOSE=device reverts
         # to the fused device-window programs)
         from ..ops import host as host_ops
-        self._host_win_rh = rh_np
-        self._host_win_rw = rw_np
+        # the host compose has no compile cache to bucket for, so slice
+        # the padded arrays down to the REAL window extent: for a
+        # non-square image that's up to ~25% fewer pixels through the
+        # zoom + lab2rgb per click (bucket 512x512 vs e.g. 512x432)
+        self._host_win_rh = np.ascontiguousarray(rh_np[:rh])
+        self._host_win_rw = np.ascontiguousarray(rw_np[:rw])
         self._host_l_win_pad = host_ops.rgb2lab(
-            rgb_win_pad.astype(np.float32) / 255.0)[..., :1]
+            rgb_win_pad[:rh, :rw].astype(np.float32) / 255.0)[..., :1]
         self.brushWidth = 2 * self.scale
 
         self.model.load_image(image_file)

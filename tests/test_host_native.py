@@ -73,3 +73,30 @@ def test_numpy_fallbacks_match_native():
     assert np.max(np.abs(host._np_rgb2lab(rgb) - host.rgb2lab(rgb))) < 1e-3
     lab = host.rgb2lab(rgb)
     assert np.max(np.abs(host._np_lab2rgb(lab) - host.lab2rgb(lab))) < 1e-4
+
+
+@native
+def test_zoom2_banded_matches_dense_gemm():
+    """The banded separable zoom must reproduce rh @ X @ rw.T for the
+    real cubic/linear interpolation matrices (<=4-tap rows) AND for a
+    dense (unbanded) matrix, within f32 rounding."""
+    from ideepcolor_tpu.ops.resize import (cubic_resize_matrix_np,
+                                           linear_resize_matrix_np)
+    S = 64
+    a = RNG.uniform(-110, 110, (S, S)).astype(np.float32)
+    b = RNG.uniform(-110, 110, (S, S)).astype(np.float32)
+    for mk in (cubic_resize_matrix_np, linear_resize_matrix_np):
+        rh = mk(S, 100, 128).astype(np.float32)
+        rw = mk(S, 90, 128).astype(np.float32)
+        oa, ob = host.zoom2_matrices(a, b, rh, rw)
+        da, db = rh @ a @ rw.T, rh @ b @ rw.T
+        assert oa.shape == da.shape == (128, 128)
+        assert np.max(np.abs(oa - da)) < 2e-3   # ~f32 ulp at |ab|<=110
+        assert np.max(np.abs(ob - db)) < 2e-3
+    # dense random matrices (no zero band at all): falls back to the
+    # full row and still matches
+    rh = RNG.standard_normal((17, S)).astype(np.float32) / S
+    rw = RNG.standard_normal((23, S)).astype(np.float32) / S
+    oa, ob = host.zoom2_matrices(a, b, rh, rw)
+    assert np.max(np.abs(oa - rh @ a @ rw.T)) < 2e-3
+    assert np.max(np.abs(ob - rh @ b @ rw.T)) < 2e-3
