@@ -44,7 +44,66 @@ def parse_args(argv=None):
     ap.add_argument("--maskcent", action="store_true")
     ap.add_argument("--limit", type=int, default=0,
                     help="stop after N frames (0 = all)")
+    ap.add_argument("--track-hints", action="store_true",
+                    help="advect the hint points along dense optical "
+                         "flow so they stick to moving content (hints "
+                         "re-rasterize on device from a ~3 KB table "
+                         "each frame)")
     return ap.parse_args(argv)
+
+
+class HintTracker:
+    """Advect hint points along dense optical flow so user hints stick
+    to CONTENT as it moves across frames.
+
+    The reference's interaction model is strictly per-still (one
+    synchronous forward per GUI event, ref data/colorize_image.py:416-434
+    — it has no video story at all); with a frame stream, a static hint
+    placed on an object becomes wrong the moment the object moves. Flow
+    (Farneback) runs on the host at net resolution (a few ms per 256^2
+    frame on one core); the per-frame hint update ships as the device-
+    rasterized fixed-shape table (StreamingSession.set_hint_table,
+    ~3 KB), so tracking adds no meaningful upload bytes to the
+    transfer-bound stream.
+    """
+
+    def __init__(self, hints: list, size: int):
+        import numpy as np
+
+        from ..ops.hints import MAX_HINTS
+        self.size = size
+        self.hints = [dict(h) for h in hints]
+        if len(self.hints) > MAX_HINTS:
+            raise ValueError(f"{len(self.hints)} hints > MAX_HINTS="
+                             f"{MAX_HINTS}; tracked hints use the fixed "
+                             f"table path")
+        self.pts = np.array([[float(h["y"]), float(h["x"])]
+                             for h in self.hints], np.float32)
+        self.prev = None
+
+    def step(self, gray_net):
+        """Update positions with the prev->cur flow; return the current
+        (boxes, values, count) hint table."""
+        import cv2
+        import numpy as np
+
+        from ..ops.hints import points_json_to_table
+        if self.prev is not None and len(self.pts):
+            flow = cv2.calcOpticalFlowFarneback(
+                self.prev, gray_net, None, pyr_scale=0.5, levels=3,
+                winsize=15, iterations=3, poly_n=5, poly_sigma=1.2,
+                flags=0)
+            iy = np.clip(np.round(self.pts[:, 0]).astype(int), 0,
+                         self.size - 1)
+            ix = np.clip(np.round(self.pts[:, 1]).astype(int), 0,
+                         self.size - 1)
+            self.pts[:, 0] += flow[iy, ix, 1]
+            self.pts[:, 1] += flow[iy, ix, 0]
+            np.clip(self.pts, 0, self.size - 1, out=self.pts)
+        self.prev = gray_net
+        for h, (y, x) in zip(self.hints, self.pts):
+            h["y"], h["x"] = int(round(float(y))), int(round(float(x)))
+        return points_json_to_table(self.hints, self.size)
 
 
 def _frame_source(path: str):
@@ -123,11 +182,18 @@ def run(args) -> int:
     sess = StreamingSession(params, size=args.size,
                             maskcent=0.5 if args.maskcent else 0.0,
                             depth=args.depth, with_dist=False)
+    tracker = None
     if args.hints:
-        ab = np.zeros((2, args.size, args.size), np.float32)
-        mask = np.zeros((1, args.size, args.size), np.float32)
-        put_points_json(ab, mask, json.load(open(args.hints)), args.size)
-        sess.set_hints(ab.transpose(1, 2, 0), mask.transpose(1, 2, 0))
+        hints = json.load(open(args.hints))
+        if args.track_hints:
+            tracker = HintTracker(hints, args.size)
+        else:
+            ab = np.zeros((2, args.size, args.size), np.float32)
+            mask = np.zeros((1, args.size, args.size), np.float32)
+            put_points_json(ab, mask, hints, args.size)
+            sess.set_hints(ab.transpose(1, 2, 0), mask.transpose(1, 2, 0))
+    elif args.track_hints:
+        print("--track-hints needs --hints; ignoring")
 
     sink = _FrameSink(args.out, args.size, args.fps)
     t0 = time.perf_counter()
@@ -137,6 +203,9 @@ def run(args) -> int:
         if args.limit and n_in >= args.limit:
             break
         g = cv2.resize(gray, (args.size, args.size))
+        if tracker is not None:
+            boxes, values, count = tracker.step(g)
+            sess.set_hint_table(boxes, values, count)
         done = sess.submit(g, srgb=True)
         n_in += 1
         if done is not None:

@@ -77,6 +77,29 @@ def _stream_step_u8_srgb(params, gray_u8, hint_ab, hint_mask, maskcent,
                         with_dist=with_dist)
 
 
+@partial(jax.jit, static_argnames=("size", "with_dist", "srgb"))
+def _stream_step_u8_table(params, gray_u8, boxes, values, count,
+                          maskcent, size=256, with_dist=True,
+                          srgb=False):
+    """Tracked-hint variant: hints arrive as a fixed-shape
+    (MAX_HINTS, 4)/(MAX_HINTS, 2) table and rasterize ON DEVICE each
+    frame, so PER-FRAME hint updates (motion-tracked hints,
+    apps/video ``--track-hints``) upload ~3 KB instead of re-uploading
+    the ~768 KB dense planes — the stream stays transfer-bound on the
+    frame bytes alone, and the device rasterize rides the same fused
+    program as the forward."""
+    from ..ops.hints import rasterize_hints
+    ab, mask = rasterize_hints(boxes, values, count, size=size)
+    if srgb:
+        g = gray_u8.astype(jnp.float32) / 255.0
+        rgb = jnp.concatenate([g, g, g], axis=-1)
+        l_raw = cs.rgb_to_lab(rgb)[..., :1]
+    else:
+        l_raw = gray_u8.astype(jnp.float32) * (100.0 / 255.0)
+    return _stream_step(params, l_raw, ab[None], mask[None], maskcent,
+                        with_dist=with_dist)
+
+
 class StreamingSession:
     """Pipelined hint-persistent colorization of an L-frame stream.
 
@@ -97,6 +120,7 @@ class StreamingSession:
         self.with_dist = with_dist
         self._hint_ab = jnp.zeros((1, size, size, 2), jnp.float32)
         self._hint_mask = jnp.zeros((1, size, size, 1), jnp.float32)
+        self._table = None
         self._inflight: deque = deque()
         self.frames_in = 0
         self.frames_out = 0
@@ -105,6 +129,25 @@ class StreamingSession:
         """hint_ab (H,W,2), hint_mask (H,W,1) — persist across frames."""
         self._hint_ab = jnp.asarray(hint_ab, jnp.float32)[None]
         self._hint_mask = jnp.asarray(hint_mask, jnp.float32)[None]
+        self._table = None
+
+    def set_hint_table(self, boxes: np.ndarray, values: np.ndarray,
+                       count: int | None = None):
+        """Swap hints as an (m,4) int32 box / (m,2) float32 ab table
+        (m <= ops.hints.MAX_HINTS), rasterized on device each frame —
+        the cheap way to move hints EVERY frame (~3 KB upload vs the
+        ~768 KB dense planes of :meth:`set_hints`). uint8-frame
+        submissions only (the video path)."""
+        from ..ops import hints as oh
+        boxes = np.asarray(boxes, np.int32).reshape(-1, 4)
+        values = np.asarray(values, np.float32).reshape(-1, 2)
+        n = len(boxes) if count is None else int(count)
+        if n > oh.MAX_HINTS:
+            raise ValueError(f"{n} hints > MAX_HINTS={oh.MAX_HINTS}")
+        b = np.zeros((oh.MAX_HINTS, 4), np.int32)
+        v = np.zeros((oh.MAX_HINTS, 2), np.float32)
+        b[:n], v[:n] = boxes[:n], values[:n]
+        self._table = (jnp.asarray(b), jnp.asarray(v), jnp.int32(n))
 
     def submit(self, l_frame: np.ndarray, srgb: bool = False):
         """l_frame (H,W): raw L in [0,100] (float), or a uint8 gray frame
@@ -114,10 +157,19 @@ class StreamingSession:
         pipeline is primed, else None."""
         if getattr(l_frame, "dtype", None) == np.uint8:
             g = jnp.asarray(l_frame)[None, ..., None]
-            step = _stream_step_u8_srgb if srgb else _stream_step_u8
-            out = step(self.params, g, self._hint_ab,
-                       self._hint_mask, self.maskcent,
-                       with_dist=self.with_dist)
+            if self._table is not None:
+                boxes, values, count = self._table
+                out = _stream_step_u8_table(
+                    self.params, g, boxes, values, count, self.maskcent,
+                    size=self.size, with_dist=self.with_dist, srgb=srgb)
+            else:
+                step = _stream_step_u8_srgb if srgb else _stream_step_u8
+                out = step(self.params, g, self._hint_ab,
+                           self._hint_mask, self.maskcent,
+                           with_dist=self.with_dist)
+        elif self._table is not None:
+            raise ValueError("set_hint_table requires uint8 gray frames "
+                             "(use set_hints for float-L submissions)")
         else:
             l = jnp.asarray(l_frame, jnp.float32)[None, ..., None]
             out = _stream_step(self.params, l, self._hint_ab,
