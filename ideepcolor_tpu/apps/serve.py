@@ -345,6 +345,7 @@ class ColorizeService:
         self._dist_init_lock = threading.Lock()
         self._glob = None            # built lazily on first /colorize_global
         self._sessions: dict = {}    # interactive sessions, LRU order
+        self._pending_sessions: dict = {}   # recycle-parked (lazy replay)
         self._glob_weights = glob_weights   # the glob graph is a separate
         # param family (caffe global-hints net), so it takes its own
         # checkpoint; '' = seeded random init
@@ -546,6 +547,11 @@ class ColorizeService:
         transport."""
         arrays, meta = {}, {}
         with self.lock:
+            # sessions still parked from the PREVIOUS recycle (lazy
+            # replay, never touched this generation) must carry over too
+            for sid, (img, fast) in self._pending_sessions.items():
+                arrays[sid] = img
+                meta[sid] = bool(fast)
             for sid, m in self._sessions.items():
                 arrays[sid] = np.asarray(m.img_rgb_fullres)
                 meta[sid] = bool(getattr(m, "_sess_fast", False))
@@ -555,10 +561,19 @@ class ColorizeService:
             np.savez(f, **arrays)
         return len(meta)
 
-    def replay_sessions(self, path: str) -> int:
+    def replay_sessions(self, path: str, lazy: bool = False) -> int:
         """Restore sessions dumped by dump_sessions under their ORIGINAL
         ids (clients keep clicking the same /session/click?id=X across a
-        recycle)."""
+        recycle).
+
+        ``lazy=True`` (the re-exec boot path) parks each session's image
+        host-side in ``self._pending_sessions`` and restores it on FIRST
+        TOUCH instead of replaying everything before serving: an eager
+        replay of N sessions runs N image uploads + forwards while
+        clients queue in the kernel accept backlog, so the recycle
+        straddler's worst case grew with the session count (measured
+        soak10_max_ms ~418 s at 600 s soak scale). Lazily, the first
+        request only waits for exec + device init + ITS OWN session."""
         import copy
         with np.load(path) as z:
             meta = json.loads(bytes(z["__meta__"]).decode())
@@ -566,11 +581,30 @@ class ColorizeService:
                 for sid, fast in meta.items():
                     if fast and self.model_fast is None:
                         fast = False
+                    if lazy:
+                        self._pending_sessions[sid] = (
+                            np.asarray(z[sid]), fast)
+                        continue
                     m = copy.copy(self.model_fast if fast else self.model)
                     m.load_image_array(np.asarray(z[sid]))
                     m._sess_fast = fast
                     self._sessions[sid] = m
         return len(meta)
+
+    def _lookup_session(self, sid: str):
+        """LRU-touch lookup; restores a recycle-parked session on first
+        touch. Call with ``self.lock`` (or the bulk lock) HELD."""
+        import copy
+        m = self._sessions.pop(sid, None)
+        if m is None and sid in self._pending_sessions:
+            img, fast = self._pending_sessions.pop(sid)
+            m = copy.copy(self.model_fast if fast else self.model)
+            m.load_image_array(img)
+            m._sess_fast = fast
+        if m is None:
+            raise LookupError(f"unknown session {sid!r}")
+        self._sessions[sid] = m                             # LRU touch
+        return m
 
     def session_click(self, sid: str, hints, fullres: bool = False
                       ) -> bytes:
@@ -583,10 +617,7 @@ class ColorizeService:
             self.requests += 1
             # lookup under the lock: a concurrent DELETE or LRU eviction
             # between a pre-lock check and here must be a clean 404
-            m = self._sessions.pop(sid, None)
-            if m is None:
-                raise LookupError(f"unknown session {sid!r}")
-            self._sessions[sid] = m                         # LRU touch
+            m = self._lookup_session(sid)
             if table is not None:
                 result = m.net_forward_table(*table)
             else:                       # >MAX_HINTS: dense fallback
@@ -625,10 +656,7 @@ class ColorizeService:
         self._ensure_dist().ensure_suggest_program(K=k, compile_now=True)
         with self.lock, self.timer.stage("session_suggest"):
             self.requests += 1
-            m = self._sessions.pop(sid, None)   # lookup under the lock
-            if m is None:
-                raise LookupError(f"unknown session {sid!r}")
-            self._sessions[sid] = m                         # LRU touch
+            m = self._lookup_session(sid)       # lookup under the lock
             d = getattr(m, "_sess_dist", None)
             if d is None:
                 d = copy.copy(self._dist)
@@ -650,7 +678,8 @@ class ColorizeService:
 
     def session_close(self, sid: str) -> bool:
         with self.lock:
-            return self._sessions.pop(sid, None) is not None
+            parked = self._pending_sessions.pop(sid, None) is not None
+            return (self._sessions.pop(sid, None) is not None) or parked
 
     # -- global histogram transfer --
     def colorize_global(self, body: bytes, fullres: bool = True) -> bytes:
@@ -820,6 +849,7 @@ class ColorizeService:
                 "size": self.size, "requests": self.requests,
                 "has_fast": self.model_fast is not None,
                 "sessions": len(self._sessions),
+                "pending_sessions": len(self._pending_sessions),
                 "rss_mb": round(rss_mb(), 1),
                 "recycle_gen": int(
                     os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "0")),
@@ -1237,7 +1267,11 @@ def main(argv=None):
         print("warmup done")
     replay = os.environ.pop("IDEEPCOLOR_REPLAY_SESSIONS", None)
     if replay and os.path.exists(replay):
-        n = service.replay_sessions(replay)
+        # lazy: park images host-side and restore each session on first
+        # touch, so the first queued client waits for exec + device init
+        # + ONE session instead of the whole replay (the 418 s recycle
+        # straddler measured in the r3 bench soak)
+        n = service.replay_sessions(replay, lazy=True)
         os.unlink(replay)
         gen = os.environ.get("IDEEPCOLOR_RECYCLE_GEN", "?")
         print(f"# recycle gen {gen}: replayed {n} sessions", flush=True)

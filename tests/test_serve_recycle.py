@@ -20,6 +20,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ideepcolor_tpu.apps import serve
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -207,7 +209,6 @@ def _wait_health(port, timeout=120, want_gen=None):
     raise TimeoutError(f"healthz gen {want_gen} not reached; last {last}")
 
 
-@pytest.mark.slow
 def test_exec_recycle_preserves_port_and_sessions(tmp_path):
     """End-to-end: server recycles (exec in place) when RSS crosses the
     cap; the port stays bound, recycle_gen increments, and a session
@@ -253,7 +254,9 @@ def test_exec_recycle_preserves_port_and_sessions(tmp_path):
         # pid), the listener fd survives, sessions replay
         h = _wait_health(port, timeout=300, want_gen=1)
         assert h["recycle_gen"] >= 1
-        assert h["sessions"] >= 1
+        # lazy replay: the session may still be parked host-side
+        # (pending) until its first post-recycle touch
+        assert h["sessions"] + h.get("pending_sessions", 0) >= 1
         c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         c2.request("POST", f"/session/click?id={sid}",
                    body=json.dumps(hints).encode())
@@ -268,3 +271,35 @@ def test_exec_recycle_preserves_port_and_sessions(tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_lazy_replay_restores_on_first_touch(tmp_path):
+    """replay_sessions(lazy=True) parks images host-side; the first
+    session touch restores it (identical frame), close() drops parked
+    entries, and a SECOND dump carries still-parked sessions over."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    svc = serve_mod.ColorizeService(size=64)
+    body = _png64()
+    sid = svc.session_open(body)["id"]
+    hints = [{"y": 8, "x": 8, "ab": [25.0, -15.0], "radius": 2}]
+    frame = svc.session_click(sid, hints)
+    dump = tmp_path / "s.npz"
+    n = svc.dump_sessions(str(dump))
+    assert n >= 1
+
+    svc2 = serve_mod.ColorizeService(size=64)
+    assert svc2.replay_sessions(str(dump), lazy=True) == n
+    h = svc2.health()
+    assert h["sessions"] == 0 and h["pending_sessions"] == n
+    # a second recycle BEFORE any touch must not lose parked sessions
+    dump2 = tmp_path / "s2.npz"
+    assert svc2.dump_sessions(str(dump2)) == n
+    # first touch restores and recolorizes to the identical frame
+    assert svc2.session_click(sid, hints) == frame
+    h = svc2.health()
+    assert h["pending_sessions"] == n - 1 and h["sessions"] == 1
+    # closing a parked session removes it without restoring
+    svc3 = serve_mod.ColorizeService(size=64)
+    svc3.replay_sessions(str(dump2), lazy=True)
+    assert svc3.session_close(sid) is True
+    assert svc3.health()["pending_sessions"] == n - 1
