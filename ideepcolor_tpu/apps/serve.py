@@ -15,6 +15,11 @@ GET  /stats
     Per-endpoint latency percentiles (p50/p95/mean over the most recent
     1000 requests) — the observability surface SURVEY.md §5 calls for.
 
+GET  /metrics
+    The same counters/gauges/latency summaries in Prometheus text
+    exposition format (requests, sheds, sessions incl. recycle-parked,
+    RSS, recycle generation, per-stage quantiles) for standard scraping.
+
 POST /colorize           (Content-Type: image/jpeg | image/png)
     Body: encoded image bytes. Optional ``X-Hints`` header: JSON list of
     {"y": int, "x": int, "ab": [a, b], "radius": int} in Xd-grid
@@ -997,8 +1002,52 @@ class _Handler(BaseHTTPRequestHandler):
                                            / max(b.dispatches, 1), 2)}
             self._reply(200, json.dumps(stats).encode(),
                         "application/json")
+        elif path == "/metrics":
+            # Prometheus text exposition of the same counters/percentiles
+            # as /healthz + /stats, so the server scrapes into standard
+            # monitoring without an adapter
+            self._reply(200, self._prometheus().encode(),
+                        "text/plain; version=0.0.4; charset=utf-8")
         else:
             self._err(404, f"unknown path {self.path}")
+
+    def _prometheus(self) -> str:
+        svc = self.service
+        h = svc.health()
+        lines = [
+            "# TYPE ideepcolor_requests_total counter",
+            f"ideepcolor_requests_total {svc.requests}",
+            "# TYPE ideepcolor_shed_429_total counter",
+            f"ideepcolor_shed_429_total {svc.shed_429}",
+            "# TYPE ideepcolor_sessions gauge",
+            f"ideepcolor_sessions {h['sessions']}",
+            f"ideepcolor_pending_sessions {h['pending_sessions']}",
+            "# TYPE ideepcolor_rss_mb gauge",
+            f"ideepcolor_rss_mb {h['rss_mb']}",
+            "# TYPE ideepcolor_recycle_generation counter",
+            f"ideepcolor_recycle_generation {h['recycle_gen']}",
+            "# TYPE ideepcolor_inflight gauge",
+            f"ideepcolor_inflight {h['inflight']}",
+            f"ideepcolor_bulk_backlog {h['bulk_backlog']}",
+            "# TYPE ideepcolor_draining gauge",
+            f"ideepcolor_draining {1 if svc.draining else 0}",
+            "# TYPE ideepcolor_stage_latency_ms summary",
+        ]
+        for stage, s in sorted(svc.timer.summary().items()):
+            for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms")):
+                lines.append(
+                    f'ideepcolor_stage_latency_ms{{stage="{stage}",'
+                    f'quantile="{q}"}} {s[key]:.3f}')
+            lines.append(f'ideepcolor_stage_latency_ms_count'
+                         f'{{stage="{stage}"}} {s["n"]}')
+        for key, b in (("default", svc.batcher),
+                       ("fast", svc.batcher_fast)):
+            if b is not None:
+                lines.append(f'ideepcolor_autobatch_dispatches_total'
+                             f'{{tier="{key}"}} {b.dispatches}')
+                lines.append(f'ideepcolor_autobatch_requests_total'
+                             f'{{tier="{key}"}} {b.batched_requests}')
+        return "\n".join(lines) + "\n"
 
     def do_DELETE(self):
         path, _, query = self.path.partition("?")

@@ -303,3 +303,27 @@ def test_lazy_replay_restores_on_first_touch(tmp_path):
     svc3.replay_sessions(str(dump2), lazy=True)
     assert svc3.session_close(sid) is True
     assert svc3.health()["pending_sessions"] == n - 1
+
+
+def test_metrics_prometheus_endpoint():
+    """GET /metrics serves Prometheus text exposition with the core
+    counters/gauges and per-stage latency summaries."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    srv = serve_mod.make_server(port=0, size=64)
+    _serve_bg(srv)
+    try:
+        c = _conn(srv)
+        c.request("POST", "/colorize?fullres=0", body=_png64())
+        assert c.getresponse().read() is not None
+        c.request("GET", "/metrics")
+        r = c.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("text/plain")
+        body = r.read().decode()
+        assert "ideepcolor_requests_total 1" in body
+        assert "ideepcolor_rss_mb" in body
+        assert 'ideepcolor_stage_latency_ms{stage="' in body
+        assert body.endswith("\n")
+    finally:
+        srv.shutdown()
+        srv.server_close()
