@@ -1087,7 +1087,8 @@ def main():
 # byte budget). Everything else lives in BENCH_FULL.json.
 HEADLINE_KEYS = (
     "p95_ms", "rpc_floor_p50_ms", "compile_first_forward_s",
-    "dist_click_fused_p50_ms", "drag_pipeline_events_per_sec",
+    "dist_click_fused_p50_ms", "win_click_host_p50_ms",
+    "drag_pipeline_events_per_sec",
     "streaming_fps", "batch16_bf16_imgs_per_sec",
     "teacher_batch128_bf16_imgs_per_sec", "eval_auc_db",
     "hint_deltaE_1", "hint_deltaE_counterfactual_1", "hint_radius_r90_px",

@@ -609,6 +609,8 @@ class ColorizeService:
         if m is None:
             raise LookupError(f"unknown session {sid!r}")
         self._sessions[sid] = m                             # LRU touch
+        while len(self._sessions) > self.MAX_SESSIONS:      # restore can
+            self._sessions.pop(next(iter(self._sessions)))  # overfill
         return m
 
     def session_click(self, sid: str, hints, fullres: bool = False
