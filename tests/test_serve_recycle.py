@@ -193,6 +193,10 @@ def test_sessions_dump_and_replay_same_ids(tmp_path):
 # ---- full in-place exec recycle (subprocess) ----
 
 def _wait_health(port, timeout=120, want_gen=None):
+    """Poll /healthz until ready (status != 'booting' — a recycled
+    generation now ACCEPTS during boot and reports booting status,
+    instead of leaving clients in the kernel accept queue) and, if
+    given, at the wanted recycle generation."""
     deadline = time.time() + timeout
     last = None
     while time.time() < deadline:
@@ -201,7 +205,9 @@ def _wait_health(port, timeout=120, want_gen=None):
             c.request("GET", "/healthz")
             h = json.loads(c.getresponse().read())
             last = h
-            if want_gen is None or h.get("recycle_gen", 0) >= want_gen:
+            if h.get("status") != "booting" and (
+                    want_gen is None
+                    or h.get("recycle_gen", 0) >= want_gen):
                 return h
         except OSError:
             pass
@@ -324,6 +330,104 @@ def test_metrics_prometheus_endpoint():
         assert "ideepcolor_rss_mb" in body
         assert 'ideepcolor_stage_latency_ms{stage="' in body
         assert body.endswith("\n")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_booting_listener_sheds_503_until_service_attached():
+    """The recycle-straddler fix (VERDICT r3 task 3): a listener opened
+    before the service is built answers every request with a FAST 503 +
+    Retry-After (instead of parking clients in the kernel accept queue
+    for the whole boot), /healthz reports booting, and requests succeed
+    the moment attach_service runs."""
+    srv = serve.make_listening_server(port=0)
+    _serve_bg(srv)
+    try:
+        c = _conn(srv, timeout=10)
+        t0 = time.time()
+        c.request("POST", "/colorize?fullres=0", body=_png64())
+        r = c.getresponse()
+        body = r.read()
+        assert r.status == 503
+        assert r.getheader("Retry-After")
+        assert time.time() - t0 < 5          # fast shed, not a boot wait
+        assert b"booting" in body
+        # healthz is the one endpoint that answers 200 during boot
+        c2 = _conn(srv, timeout=10)
+        c2.request("GET", "/healthz")
+        r2 = c2.getresponse()
+        h = json.loads(r2.read())
+        assert r2.status == 200 and h["status"] == "booting"
+        # DELETE sheds too
+        c3 = _conn(srv, timeout=10)
+        c3.request("DELETE", "/session?id=x")
+        assert c3.getresponse().status == 503
+        # attach -> the same traffic now serves
+        serve.attach_service(srv, serve.ColorizeService(size=64))
+        c4 = _conn(srv)
+        c4.request("POST", "/colorize?fullres=0", body=_png64())
+        assert c4.getresponse().status == 200
+        c5 = _conn(srv)
+        c5.request("GET", "/healthz")
+        h = json.loads(c5.getresponse().read())
+        assert h["status"] == "ok"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_boot_stages_surface_in_health():
+    from ideepcolor_tpu.apps import serve as serve_mod
+    svc = serve_mod.ColorizeService(size=64)
+    svc.boot_stages = {"accept_open_s": 0.1, "ready_s": 2.5}
+    assert svc.health()["boot_stages"]["ready_s"] == 2.5
+
+
+def test_parked_sessions_capped_across_dumps(tmp_path):
+    """ADVICE r3 (medium): abandoned parked sessions must not be carried
+    across recycles forever — dump_sessions caps parked+live at
+    MAX_SESSIONS, live sessions taking priority, oldest parked dropped."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    svc = serve_mod.ColorizeService(size=64)
+    body = _png64()
+    cap = serve_mod.ColorizeService.MAX_SESSIONS
+    # park cap+4 abandoned sessions (as left by a previous recycle)
+    img = np.zeros((64, 64, 3), np.uint8)
+    for i in range(cap + 4):
+        svc._pending_sessions[f"ghost{i:02d}"] = (img, False)
+    # plus 3 live sessions
+    live = [svc.session_open(body)["id"] for _ in range(3)]
+    dump = tmp_path / "s.npz"
+    n = svc.dump_sessions(str(dump))
+    assert n == cap                          # bounded, not cap + 7
+    svc2 = serve_mod.ColorizeService(size=64)
+    svc2.replay_sessions(str(dump), lazy=True)
+    parked = set(svc2._pending_sessions)
+    # every live session survived; the OLDEST ghosts were dropped
+    assert all(sid in parked for sid in live)
+    assert "ghost00" not in parked
+    assert f"ghost{cap + 3:02d}" in parked
+
+
+def test_metrics_promlint_nits_fixed():
+    """ADVICE r3 (low): every emitted metric carries its own # TYPE,
+    stage summaries include a _sum series, and recycle_generation is a
+    gauge."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    srv = serve_mod.make_server(port=0, size=64)
+    _serve_bg(srv)
+    try:
+        c = _conn(srv)
+        c.request("POST", "/colorize?fullres=0", body=_png64())
+        c.getresponse().read()
+        c.request("GET", "/metrics")
+        body = c.getresponse().read().decode()
+        assert "# TYPE ideepcolor_pending_sessions gauge" in body
+        assert "# TYPE ideepcolor_bulk_backlog gauge" in body
+        assert "# TYPE ideepcolor_recycle_generation gauge" in body
+        assert "ideepcolor_stage_latency_ms_sum{" in body
+        assert "ideepcolor_stage_latency_ms_count{" in body
     finally:
         srv.shutdown()
         srv.server_close()
