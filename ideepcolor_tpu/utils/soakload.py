@@ -41,18 +41,36 @@ def _request(cc, kind: str, sid: str, body: bytes, y: int, x: int):
 
 
 def open_warm_session(host, port, body: bytes, warm_kinds=("click",),
-                      timeout: float = 600):
+                      timeout: float = 600, retries: int = 30):
     """One connection + interactive session, with a warm pass of each
     kind in ``warm_kinds`` — first use compiles programs and lazily
     materializes per-session device state (e.g. the dist planes on the
-    first suggest), which must stay out of the RSS/latency window."""
-    cc = http.client.HTTPConnection(host, port, timeout=timeout)
-    cc.request("POST", "/session", body=body)
-    sid = json.loads(cc.getresponse().read())["id"]
-    for kind in warm_kinds:
-        _request(cc, kind, sid, body, 9, 9)
-        cc.getresponse().read()
-    return cc, sid
+    first suggest), which must stay out of the RSS/latency window.
+
+    Retries 503-booting/draining (and connection drops) with fresh
+    connections so callers can open sessions against a server that is
+    still booting or mid-recycle."""
+    last = None
+    for _ in range(max(retries, 1)):
+        try:
+            cc = http.client.HTTPConnection(host, port, timeout=timeout)
+            cc.request("POST", "/session", body=body)
+            r = cc.getresponse()
+            payload = r.read()
+            if r.status in (429, 503):
+                last = r.status
+                time.sleep(min(float(r.getheader("Retry-After") or 1), 5))
+                continue
+            sid = json.loads(payload)["id"]
+            for kind in warm_kinds:
+                _request(cc, kind, sid, body, 9, 9)
+                cc.getresponse().read()
+            return cc, sid
+        except OSError as e:
+            last = e
+            time.sleep(1)
+    raise RuntimeError(f"could not open a session after {retries} "
+                       f"attempts (last: {last})")
 
 
 def run_clients(host, port, conns, body: bytes, secs: float, mix,
@@ -70,7 +88,10 @@ def run_clients(host, port, conns, body: bytes, secs: float, mix,
     recycling) — honor Retry-After (capped at 5 s) and retry the SAME
     request instead of recording an error. OSError reconnects also retry
     the same request. ``counters`` then carries the shed/drain/reconnect
-    evidence: {"429": n, "503": n, "reconnects": n, ...}."""
+    evidence: {"429": n, "503": n, "reconnects": n, ...} plus per-kind
+    reconnect attribution ("reconnects_click": n, ...) so harness-client
+    noise is visibly accounted in the numbers it reports (VERDICT r3
+    task 8)."""
     lat = {k: [] for k in dict.fromkeys(mix)}
     errors: list = []
     lock = threading.Lock()
@@ -108,6 +129,7 @@ def run_clients(host, port, conns, body: bytes, secs: float, mix,
                 bump(str(r.status))
             except OSError as e:
                 bump("reconnects")
+                bump(f"reconnects_{kind}")
                 if not retry_busy:
                     with lock:
                         errors.append(599)

@@ -62,6 +62,12 @@ THRESH = {"sync_ms": 0.20, "rate_dispatch": 0.12, "rate_device": 0.05,
           "quality_db": 0.0, "quality_raw": 0.0}
 # quality metrics use absolute tolerances instead (dB / units)
 ABS_TOL = {"quality_db": 0.15, "quality_raw": 0.5}
+# sync_ms residuals near the RPC floor are sub-ms quantities whose ratio
+# amplifies noise absurdly (ADVICE r3): a residual delta smaller than
+# this is 'ok' regardless of its percentage, and when either residual is
+# <= 0 (metric at/below the measured floor) normalization is skipped in
+# favor of the raw comparison
+SYNC_ABS_TOL_MS = 2.0
 
 
 def _floor(d: dict) -> float:
@@ -109,9 +115,18 @@ def compare(old: dict, new: dict) -> tuple[list[dict], int]:
         raw_pct = 100.0 * (vn - vo) / vo if vo else 0.0
         if fo > 0 and fn > 0:
             no, nn = _normalized(kind, vo, old), _normalized(kind, vn, new)
+            if kind == "sync_ms" and (no <= 0 or nn <= 0):
+                # at/below the measured floor: the residual ratio is
+                # meaningless (sign flips on sub-ms noise) — fall back
+                # to the raw comparison
+                no, nn = vo, vn
         else:          # a run predates the floor field: compare raw only
             no, nn = vo, vn
         norm_pct = 100.0 * (nn - no) / no if no else 0.0
+        if kind == "sync_ms" and abs(nn - no) < SYNC_ABS_TOL_MS:
+            # sub-2ms residual delta: noise on this transport no matter
+            # how large the percentage looks near the floor
+            norm_pct = 0.0
         if kind in ABS_TOL:
             delta = (vn - vo) * (direction or 0)
             if direction == 0:

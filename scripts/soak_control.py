@@ -66,10 +66,11 @@ def main():
 
         la0 = sum(int(a.nbytes) for a in jax.live_arrays())
         rss0 = soakload.rss_mb()
+        counters: dict = {}
         lat, errors = soakload.run_clients(
             host, port, conns, body, args.secs,
             ("click", "netres", "click", "suggest", "click", "netres"),
-            size=args.size, timeout=1200)
+            size=args.size, timeout=1200, counters=counters)
         rss1 = soakload.rss_mb()
         la1 = sum(int(a.nbytes) for a in jax.live_arrays())
         print(json.dumps({
@@ -77,6 +78,9 @@ def main():
             "cpu_requests": sum(len(v) for v in lat.values()),
             "cpu_5xx": len([e for e in errors if e != 599]),
             "cpu_live_array_growth_mb": round((la1 - la0) / 1e6, 2),
+            # no tunnel here: any nonzero count is harness-client
+            # fragility, zero pins TPU-leg reconnects on the transport
+            "cpu_reconnects": counters.get("reconnects", 0),
         }))
     finally:
         srv.shutdown()
