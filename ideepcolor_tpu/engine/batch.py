@@ -309,6 +309,118 @@ def suggest_batch_table(params, images_rgb, boxes, values, counts, hs, ws,
     return np.asarray(colors), np.asarray(conf)
 
 
+@jax.jit
+def batch_forward_frames_global(params, l_mc, hints3, glob):
+    """Batched GLOBAL-HISTOGRAM conditioned forward (the one serving
+    variant with its own input signature — ref
+    models/global_model/deploy_nodist.prototxt:7-18): mean-centered NHWC
+    L planes + dense 3-ch hint planes + per-image (N, 314) histogram
+    blobs (313 bins + on/off flag) -> (uint8 frames, predicted ab).
+
+    Every input including the histogram shards over the 'data' mesh
+    axis; the 1x1-conv histogram MLP and its conv4 trunk broadcast are
+    per-image, so XLA partitions with zero cross-device traffic."""
+    from ..models import caffe_net
+    blob = jnp.concatenate([l_mc, hints3], axis=-1)
+    ab = caffe_net.apply_global(params, blob, glob)
+    l_raw = l_mc + 50.0
+    rgb = cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab], axis=-1))
+    return rgb, ab
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_global_forward_for(mesh):
+    batch_s = pmesh.batch_sharding(mesh)
+    return jax.jit(batch_forward_frames_global,
+                   out_shardings=(batch_s, batch_s)), batch_s
+
+
+def colorize_batch_global(params, images_rgb, glob_dists, hints3=None,
+                          mesh=None):
+    """Public batched global-histogram serving: uint8 RGB images +
+    (N, 314) histogram blobs (rows may be all-zero = unconditioned, the
+    glob_dist=-1 sentinel) in, colorized uint8 frames out. With ``mesh``
+    the batch (histograms included) shards over its data axis, padded
+    with row-0 replicas when n does not divide the alignment."""
+    import numpy as np
+    imgs = jnp.asarray(np.asarray(images_rgb))
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    n, s = int(imgs.shape[0]), int(imgs.shape[1])
+    glob = jnp.asarray(glob_dists, jnp.float32)
+    if hints3 is None:
+        hints3 = jnp.zeros((n, s, s, 3), jnp.float32)
+    hints3 = jnp.asarray(hints3, jnp.float32)
+    l_mc = _prep_l_mc(imgs)
+    if mesh is not None:
+        _, (l_mc, hints3, glob) = _pad_batch(
+            n, mesh_batch_align(mesh), l_mc, hints3, glob)
+        fn, batch_s = _sharded_global_forward_for(mesh)
+        with mesh:
+            l_mc, hints3, glob = (jax.device_put(a, batch_s)
+                                  for a in (l_mc, hints3, glob))
+            rgb, _ab = fn(params, l_mc, hints3, glob)
+        return np.asarray(rgb)[:n]
+    rgb, _ab = batch_forward_frames_global(params, l_mc, hints3, glob)
+    return np.asarray(rgb)
+
+
+@jax.jit
+def batch_stream_window_u8(params, gray_u8, boxes, values, count,
+                           maskcent):
+    """A WINDOW of video frames through the streaming step in one
+    program: (T, S, S, 1) uint8 gray frames + ONE shared hint table
+    (engine.streaming._stream_step_u8_table semantics: device
+    rasterize, linear u8 -> L dequant) -> (T, S, S, 3) uint8 frames.
+
+    The frame axis shards over the 'data' mesh axis (hint table and
+    params replicated): a mesh chews T frames per dispatch, turning the
+    single-chip pipelined stream into multi-chip streaming throughput
+    while each frame's numerics stay those of the per-frame step."""
+    from ..ops.hints import rasterize_hints
+    size = gray_u8.shape[1]
+    ab, mask = rasterize_hints(boxes, values, count, size=size)
+    t = gray_u8.shape[0]
+    hint_ab = jnp.broadcast_to(ab[None], (t,) + ab.shape)
+    hint_mask = jnp.broadcast_to(mask[None], (t,) + mask.shape)
+    l_raw = gray_u8.astype(jnp.float32) * (100.0 / 255.0)
+    ab_pred = siggraph.apply(params, l_raw - 50.0, hint_ab, hint_mask,
+                             maskcent, dist=False,
+                             precision_name="default")
+    return cs.lab_to_rgb_u8(jnp.concatenate([l_raw, ab_pred], axis=-1))
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_stream_window_for(mesh):
+    batch_s = pmesh.batch_sharding(mesh)
+    return jax.jit(batch_stream_window_u8,
+                   out_shardings=batch_s), batch_s
+
+
+def stream_window_u8(params, frames_u8, boxes, values, count,
+                     maskcent: float = 0.0, mesh=None):
+    """Public multi-frame streaming step: (T, S, S, 1) uint8 gray frames
+    + one tracked-hint table in, (T, S, S, 3) uint8 colorized frames
+    out. With ``mesh`` the frame window shards over its data axis
+    (padded with frame-0 replicas, padding dropped on return)."""
+    import numpy as np
+    frames = jnp.asarray(np.asarray(frames_u8), jnp.uint8)
+    boxes = jnp.asarray(boxes, jnp.int32)
+    values = jnp.asarray(values, jnp.float32)
+    count = jnp.asarray(count, jnp.int32)
+    mc = jnp.float32(maskcent)
+    if mesh is not None:
+        t = int(frames.shape[0])
+        _, (frames,) = _pad_batch(t, mesh_batch_align(mesh), frames)
+        fn, batch_s = _sharded_stream_window_for(mesh)
+        with mesh:
+            frames = jax.device_put(frames, batch_s)
+            rgb = fn(params, frames, boxes, values, count, mc)
+        return np.asarray(rgb)[:t]
+    return np.asarray(batch_stream_window_u8(params, frames, boxes,
+                                             values, count, mc))
+
+
 def make_sharded_batch_forward(mesh):
     """DP-sharded batched forward over a mesh: inputs sharded on 'data',
     params replicated. Returns (fn, place_batch) helpers. The jitted
