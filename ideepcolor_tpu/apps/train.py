@@ -51,11 +51,13 @@ def parse_args(argv=None):
     ap.add_argument("--teacher-dtype", type=str, default="bfloat16",
                     help="teacher forward precision during distillation")
     ap.add_argument("--color-jitter", type=str, default="on",
-                    choices=("on", "off"),
+                    choices=("on", "off", "strong"),
                     help="device-mode hue-rotation/compositing "
                          "augmentation (host mode has no jitter; pass "
                          "'off' to make device and host modes train on "
-                         "identical data distributions)")
+                         "identical data distributions; 'strong' = up to "
+                         "4 independently-rotated regions + wider chroma "
+                         "scale, the tiny-corpus hint-reliance tier)")
     ap.add_argument("--data-mode", type=str, default="auto",
                     choices=("auto", "host", "device"),
                     help="device: upload the corpus once and augment "
@@ -149,9 +151,10 @@ def main(argv=None):
                        or (args.data_mode == "auto"
                            and corpus_fits_on_device(args.data_dir)))
     if use_device_data:
-        loader = DeviceDataset(args.data_dir, batch_size=args.batch,
-                               size=args.size,
-                               color_jitter=args.color_jitter == "on")
+        loader = DeviceDataset(
+            args.data_dir, batch_size=args.batch, size=args.size,
+            color_jitter=("strong" if args.color_jitter == "strong"
+                          else args.color_jitter == "on"))
         print(f"device-resident dataset: {loader.n_images} images, "
               f"{loader.bytes_on_device / 1e6:.1f} MB on device "
               f"(on-device augmentation, color_jitter="

@@ -44,10 +44,11 @@ def _bilinear_crop(img: jax.Array, ys: jax.Array, xs: jax.Array
     return rows[:, x0] * (1.0 - wx) + rows[:, x1] * wx  # (out, out, C)
 
 
-@partial(jax.jit, static_argnames=("batch", "size", "color_jitter"))
+@partial(jax.jit, static_argnames=("batch", "size", "color_jitter",
+                                   "strong"))
 def sample_batch(images_u8: jax.Array, key: jax.Array, batch: int,
-                 size: int, color_jitter: bool = False
-                 ) -> dict[str, jax.Array]:
+                 size: int, color_jitter: bool = False,
+                 strong: bool = False) -> dict[str, jax.Array]:
     """(N,S,S,3) uint8 device dataset + key -> {'l','ab'} f32 batch.
 
     Per sample: uniform image pick, random-resized-crop (scale 0.6-1.0
@@ -67,6 +68,14 @@ def sample_batch(images_u8: jax.Array, key: jax.Array, batch: int,
         30.1 dB at 0 hints -> 22.7 at 25);
       * compositing two rotations per sample puts a chroma discontinuity
         inside every frame, forcing hint influence to stay local.
+
+    strong=True (the r4 "--color-jitter strong" tier) pushes the same
+    mechanism harder — BOTH a vertical and a horizontal split can apply
+    (up to 4 independently-rotated regions per frame) and the chroma
+    scale widens to 0.5-1.5 — so a colorization is less predictable from
+    L alone and the holdout PSNR-vs-hints slope steepens (VERDICT r3
+    task 4: the corpus is maxed at 12 offline photos; augmentation
+    diversity is the remaining quality lever).
     """
     S = images_u8.shape[1]
     k_crop_a, k_crop_b, k_rot, k_split = jax.random.split(key, 4)
@@ -96,18 +105,52 @@ def sample_batch(images_u8: jax.Array, key: jax.Array, batch: int,
     if not color_jitter:
         return {"l": l, "ab": ab}
 
+    sat_lo, sat_hi = (0.5, 1.5) if strong else (0.7, 1.3)
+
     def jittered_ab(ab_in, k):
         k_th, k_sat = jax.random.split(k)
         theta = jax.random.uniform(k_th, (batch,), maxval=2.0 * jnp.pi)
-        sat = jax.random.uniform(k_sat, (batch,), minval=0.7, maxval=1.3)
+        sat = jax.random.uniform(k_sat, (batch,), minval=sat_lo,
+                                 maxval=sat_hi)
         cth, sth = jnp.cos(theta), jnp.sin(theta)
         rot = jnp.stack([jnp.stack([cth, -sth], -1),
                          jnp.stack([sth, cth], -1)], -2)  # (batch, 2, 2)
         return jnp.einsum("nij,nhwj->nhwi", rot,
                           ab_in) * sat[:, None, None, None]
 
-    k_rot_a, k_rot_b = jax.random.split(k_rot)
     lab_b = cs.rgb_to_lab(crops(k_crop_b))
+    ys = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+
+    if strong:
+        # up to FOUR independently-rotated regions: a vertical AND a
+        # horizontal split, each active with p=0.85, laid out as an a/b
+        # crop checkerboard (XOR) so neighbouring regions always change
+        # rotation — every frame carries 1-4 chroma discontinuities and
+        # a single hint can never explain more than one region
+        k_ra1, k_ra2, k_rb1, k_rb2 = jax.random.split(k_rot, 4)
+        ab_a1 = jittered_ab(ab, k_ra1)
+        ab_a2 = jittered_ab(ab, k_ra2)
+        ab_b1 = jittered_ab(lab_b[..., 1:], k_rb1)
+        ab_b2 = jittered_ab(lab_b[..., 1:], k_rb2)
+        k_py, k_px, k_uv, k_uh = jax.random.split(k_split, 4)
+        pos_y = jax.random.uniform(k_py, (batch,), minval=0.3,
+                                   maxval=0.7) * size
+        pos_x = jax.random.uniform(k_px, (batch,), minval=0.3,
+                                   maxval=0.7) * size
+        use_v = jax.random.bernoulli(k_uv, 0.85, (batch,))
+        use_h = jax.random.bernoulli(k_uh, 0.85, (batch,))
+        in_v = (xs[None] >= pos_x[:, None, None]) & use_v[:, None, None]
+        in_h = (ys[None] >= pos_y[:, None, None]) & use_h[:, None, None]
+        in_b = in_v ^ in_h                       # crop checkerboard
+        sub = in_h[..., None]                    # rotation selector
+        ab_a = jnp.where(sub, ab_a2, ab_a1)
+        ab_b = jnp.where(sub, ab_b2, ab_b1)
+        l = jnp.where(in_b[..., None], lab_b[..., :1], l)
+        ab = jnp.where(in_b[..., None], ab_b, ab_a)
+        return {"l": l, "ab": ab}
+
+    k_rot_a, k_rot_b = jax.random.split(k_rot)
     ab_a = jittered_ab(ab, k_rot_a)
     ab_b = jittered_ab(lab_b[..., 1:], k_rot_b)
 
@@ -118,8 +161,6 @@ def sample_batch(images_u8: jax.Array, key: jax.Array, batch: int,
                              maxval=0.7) * size
     horiz = jax.random.bernoulli(k_axis, 0.5, (batch,))
     use_b = jax.random.bernoulli(k_use, 0.75, (batch,))
-    ys = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
     coord = jnp.where(horiz[:, None, None], ys[None], xs[None])
     in_b = (coord >= pos[:, None, None]) & use_b[:, None, None]
     l = jnp.where(in_b[..., None], lab_b[..., :1], l)
@@ -138,7 +179,7 @@ class DeviceDataset:
 
     def __init__(self, root: str, batch_size: int = 16, size: int = 176,
                  store: int = 288, seed: int = 0,
-                 color_jitter: bool = True):
+                 color_jitter: bool | str = True):
         from PIL import Image
 
         from .data import list_images
@@ -160,7 +201,9 @@ class DeviceDataset:
         self.size = size
         self._dev = jnp.asarray(np.stack(frames))
         self._key = jax.random.key(seed)
-        self.color_jitter = color_jitter
+        # color_jitter: False | True | "strong" (the r4 4-region tier)
+        self.color_jitter = bool(color_jitter)
+        self.strong = color_jitter == "strong"
 
     @property
     def bytes_on_device(self) -> int:
@@ -172,7 +215,8 @@ class DeviceDataset:
     def __next__(self) -> dict[str, jax.Array]:
         self._key, sub = jax.random.split(self._key)
         return sample_batch(self._dev, sub, self.batch_size, self.size,
-                            color_jitter=self.color_jitter)
+                            color_jitter=self.color_jitter,
+                            strong=self.strong)
 
     def close(self):
         pass
