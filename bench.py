@@ -1299,7 +1299,13 @@ def main():
         time.perf_counter() - t0, 1)
     import jax
     # guard device enumeration + first dispatch against the post-kill wedge
-    disarm = _unwedge_guard()
+    # budget-aware stall threshold: under the default 12-min budget a
+    # 120 s wait before the first nudge ate a third of the run (observed
+    # r4: soak-exit wedge + 120 s threshold + recovery ~= 4 min). A cold
+    # first compile is ~20-40 s, so 60 s still avoids spurious nudges
+    # while halving the worst-case recovery under budget; attended full
+    # runs keep the conservative 2 min.
+    disarm = _unwedge_guard(stall_s=120.0 if _full_mode() else 60.0)
     state["device"] = str(jax.devices()[0])
     import jax.numpy as jnp
     _sync(jnp.ones((), jnp.float32) + 1.0)
