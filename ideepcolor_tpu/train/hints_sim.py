@@ -18,9 +18,9 @@ import jax.numpy as jnp
 MAX_POINTS = 32
 
 
-@partial(jax.jit, static_argnames=("p_keep",))
+@partial(jax.jit, static_argnames=("p_keep", "p_full"))
 def sample_hints(key: jax.Array, gt_ab: jax.Array,
-                 p_keep: float = 1.0 / 8.0):
+                 p_keep: float = 1.0 / 8.0, p_full: float = 0.01):
     """gt_ab: (N, H, W, 2) ground-truth ab -> (hint_ab, hint_mask) planes.
 
     Each of MAX_POINTS slots is alive with probability continuation
@@ -29,9 +29,15 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
     location, carrying the MEAN gt ab of its in-image area (the recipe's
     average-patch hint; computed with fixed 9x9 dynamic-slice windows so
     the sampler stays shape-static).
+
+    With probability ``p_full`` a sample instead reveals the FULL ground
+    truth (mask all-ones, ab = gt) — the published recipe's 1% full-reveal
+    (SIGGRAPH'17 §3.2), which anchors the dense-hint end of the curve:
+    the net must learn to copy hints faithfully when they are abundant,
+    not just propagate sparse ones.
     """
     n, h, w, _ = gt_ab.shape
-    k_alive, k_loc, k_size = jax.random.split(key, 3)
+    k_alive, k_loc, k_size, k_full = jax.random.split(key, 4)
 
     # Geometric(p_keep) hint count, capped at MAX_POINTS: slot i is alive
     # iff the first i+1 'continue' coins all succeed, so P(0 hints) =
@@ -41,7 +47,13 @@ def sample_hints(key: jax.Array, gt_ab: jax.Array,
 
     loc = _gaussian_locations(k_loc, n, h, w)
     half = jax.random.randint(k_size, (n, MAX_POINTS), 0, 5)
-    return _reveal_batch(gt_ab, loc, half, alive)
+    hint_ab, hint_mask = _reveal_batch(gt_ab, loc, half, alive)
+    if p_full <= 0.0:
+        return hint_ab, hint_mask
+    full = jax.random.bernoulli(k_full, p_full,
+                                (n, 1, 1, 1)).astype(jnp.float32)
+    return (hint_ab * (1.0 - full) + gt_ab * full,
+            jnp.maximum(hint_mask, full))
 
 
 def _gaussian_locations(key: jax.Array, n: int, h: int, w: int) -> jax.Array:

@@ -89,6 +89,29 @@ def test_sample_hints_unchanged_after_refactor():
     assert np.all(ab[mask[..., 0] == 0] == 0)
 
 
+def test_sample_hints_full_reveal():
+    """The published recipe's 1% full-ground-truth reveal (SIGGRAPH'17
+    §3.2): with p_full=1 every sample reveals gt exactly (mask all-ones,
+    ab == gt); with p_full=0 behavior is bit-identical to the sparse
+    sampler (the pre-r4 path)."""
+    key = jax.random.key(7)
+    gt = jnp.asarray(np.random.default_rng(1)
+                     .uniform(-80, 80, (4, 32, 32, 2)).astype(np.float32))
+    ab_full, mask_full = hints_sim.sample_hints(key, gt, p_full=1.0)
+    np.testing.assert_array_equal(np.asarray(mask_full), 1.0)
+    np.testing.assert_allclose(np.asarray(ab_full), np.asarray(gt),
+                               rtol=0, atol=1e-6)
+    ab0, mask0 = hints_sim.sample_hints(key, gt, p_full=0.0)
+    ab_d, mask_d = hints_sim.sample_hints(key, gt)   # default p_full=.01
+    # the sparse branch inside the default path reuses the same slots:
+    # wherever the default sample did NOT full-reveal, it matches p_full=0
+    sparse_rows = ~np.all(np.asarray(mask_d) == 1.0, axis=(1, 2, 3))
+    np.testing.assert_array_equal(np.asarray(ab_d)[sparse_rows],
+                                  np.asarray(ab0)[sparse_rows])
+    np.testing.assert_array_equal(np.asarray(mask_d)[sparse_rows],
+                                  np.asarray(mask0)[sparse_rows])
+
+
 def test_eval_validates_counts_and_half():
     from ideepcolor_tpu.apps import eval as eval_cli
     from ideepcolor_tpu.models import siggraph
