@@ -163,12 +163,22 @@ def main(argv=None):
         loader = ImageFolderLoader(args.data_dir, batch_size=args.batch,
                                    size=args.size)
     timer = StageTimer()
-    key = jax.random.key(1)
 
+    # --steps is the TOTAL step target: on --resume, run only the
+    # remainder so the lr schedule (indexed by the restored optimizer
+    # count, built with total_steps=args.steps) stays aligned with the
+    # loop instead of running args.steps MORE steps past the decay end.
+    start_step = int(state["step"])
+    remaining = max(args.steps - start_step, 0)
+    if args.resume:
+        print(f"{remaining} steps remaining to --steps {args.steps}")
+    # fold start_step into the data-rng seed so a resumed run draws new
+    # augmentation keys instead of replaying the sequence from step 0
+    key = jax.random.key(1 + start_step)
     with mesh:
         state = shard_state(state)
         for i, batch in enumerate(loader):
-            if i >= args.steps:
+            if i >= remaining:
                 break
             key, sub = jax.random.split(key)
             with timer.stage("step"):
@@ -184,7 +194,7 @@ def main(argv=None):
                 print(f"step {int(state['step'])}: "
                       f"loss={float(aux['loss']):.4f} {parts} "
                       f"({ips:.1f} imgs/s)", flush=True)
-            if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+            if (i + 1) % args.ckpt_every == 0 or i + 1 == remaining:
                 path = f"{args.ckpt}_{int(state['step'])}"
                 tstep.save_train_state(path, jax.device_get(state))
                 print(f"checkpoint -> {path}")

@@ -109,6 +109,20 @@ def gather(out_dir: str) -> tuple[list, list]:
             train.append(f"{out_dir}/train/grace_hopper.jpg")
     except ImportError:
         pass
+    # pygame's webcam sample (320x240 indoor photo) — the last real
+    # photograph shipped by any package in this image (exhaustive
+    # find over /opt/venv; everything else is logos/charts/textures)
+    try:
+        import pygame
+        cam = os.path.join(os.path.dirname(pygame.__file__), "docs",
+                           "generated", "_images", "camera_rgb.jpg")
+        if os.path.exists(cam):
+            im = Image.open(cam).convert("RGB")
+            if _is_color(im) and im.size[0] >= 64 and im.size[1] >= 64:
+                shutil.copy(cam, f"{out_dir}/train/pygame_camera.jpg")
+                train.append(f"{out_dir}/train/pygame_camera.jpg")
+    except ImportError:
+        pass
     return train, holdout
 
 

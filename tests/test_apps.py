@@ -95,6 +95,39 @@ def test_train_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_resume_total_steps(tmp_path):
+    """--steps is the TOTAL target under --resume: resuming a step-2
+    checkpoint with --steps 3 runs exactly 1 more step (so the lr
+    schedule, indexed by the restored optimizer count and built with
+    total_steps=--steps, stays aligned with the loop), not 3 more."""
+    import shutil
+    data = tmp_path / "data"
+    data.mkdir()
+    src = "/root/reference/test_imgs/mortar_pestle.jpg"
+    if not os.path.exists(src):
+        pytest.skip("no images")
+    for i in range(2):
+        shutil.copy(src, data / f"im{i}.jpg")
+    from ideepcolor_tpu.apps import train as train_cli
+    base = [str(data), "--batch", "2", "--size", "32",
+            "--ckpt", str(tmp_path / "ck"), "--log-every", "1",
+            "--lr-schedule", "cosine", "--warmup-steps", "1"]
+    rc = train_cli.main(base + ["--steps", "2", "--ckpt-every", "2"])
+    assert rc == 0
+    rc = train_cli.main(base + ["--steps", "3", "--ckpt-every", "1",
+                                "--resume", str(tmp_path / "ck_2")])
+    assert rc == 0
+    from ideepcolor_tpu.train import step as tstep
+    st = tstep.load_train_state(
+        str(tmp_path / "ck_3"),
+        tstep.TrainConfig(schedule="cosine", warmup_steps=1,
+                          total_steps=3))
+    assert int(st["step"]) == 3
+    # and no step-5 checkpoint: the resume did NOT run --steps more steps
+    assert not os.path.exists(str(tmp_path / "ck_5"))
+
+
+@pytest.mark.slow
 def test_train_cli_init_from_finetune(tmp_path):
     """--init-from: params-only checkpoint seeds training with a fresh
     optimizer (the fine-tune workflow, e.g. re-training the bundled
