@@ -75,6 +75,23 @@ def _remaining() -> float:
     return DEADLINE - EMIT_RESERVE_S - time.time()
 
 
+# --- two-tier coverage (VERDICT r4 task 1) --------------------------------
+#
+# r4's watchdog saved the record but 9 of 14 config families never got a
+# turn: the full-rep headline + soaks ate the budget front-to-back. The
+# contract now: a COVERAGE pass first — every family at trimmed reps (the
+# compiled programs and measured medians are identical; only the sample
+# counts shrink) — then a DEEPEN pass re-runs the headline click loops at
+# full reps with whatever budget remains (the programs are already
+# compiled in-process, so deepening is pure dispatch time).
+QUICK = False
+
+
+def _q(full: int, quick: int) -> int:
+    """Rep count for the current tier."""
+    return quick if QUICK else full
+
+
 def _sync(x):
     """Force completion incl. readback of a small dependent slice (the axon
     tunnel's block_until_ready does not reliably synchronize)."""
@@ -119,8 +136,15 @@ def _unwedge_guard(stall_s: float = 120.0):
                   f"tunnel, or an unusually slow cold start); "
                   f"nudge attempt {attempt}/5", file=sys.stderr)
             try:
+                # self-limiting (timeout -s INT): if THIS process dies via
+                # the deadline watchdog's os._exit, an orphaned nudge must
+                # not sit in the device-claim queue blocking the next TPU
+                # process indefinitely (observed r5: a 14-min orphan);
+                # SIGINT lets python exit gracefully, not another
+                # ungraceful kill that would re-wedge the tunnel
                 p = subprocess.Popen(
-                    [sys.executable, "-c",
+                    ["timeout", "-s", "INT", "400",
+                     sys.executable, "-c",
                      "import jax, jax.numpy as jnp, numpy;"
                      "numpy.asarray(jnp.ones(()))"],
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -184,19 +208,24 @@ def measure_baseline_torch_cpu() -> float:
         return FALLBACK_BASELINE_MS
 
 
-def bench_click_latency(extras):
-    """Config 2: scripted local-hints session, per-click latency."""
+def bench_click_latency(extras, cm=None):
+    """Config 2: scripted local-hints session, per-click latency.
+
+    Pass a prebuilt ``cm`` to re-measure at full reps without paying the
+    per-instance program builds again (the deepen pass)."""
     from ideepcolor_tpu import api
     from ideepcolor_tpu.ops.hints import put_point
 
-    cm = api.ColorizeImageJax(Xd=256)
-    cm.prep_net(path='')
-    img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
-    if os.path.exists(img):
-        cm.load_image(img)
-    else:
-        rng = np.random.default_rng(0)
-        cm.set_image((rng.random((256, 256, 3)) * 255).astype(np.uint8))
+    if cm is None:
+        cm = api.ColorizeImageJax(Xd=256)
+        cm.prep_net(path='')
+        img = os.path.join(REFERENCE_DIR, "test_imgs/mortar_pestle.jpg")
+        if os.path.exists(img):
+            cm.load_image(img)
+        else:
+            rng = np.random.default_rng(0)
+            cm.set_image((rng.random((256, 256, 3)) * 255)
+                         .astype(np.uint8))
 
     input_ab = np.zeros((2, 256, 256))
     mask = np.zeros((1, 256, 256))
@@ -205,9 +234,12 @@ def bench_click_latency(extras):
     # (single fused dispatch: forward + upsample + L-fusion + both frames)
     t0 = time.perf_counter()
     cm.net_forward_fullres(input_ab, mask)
-    extras["compile_first_forward_s"] = round(time.perf_counter() - t0, 1)
+    # setdefault: the deepen pass re-runs this fn with the program warm —
+    # only the first (cold) timing is the compile number
+    extras.setdefault("compile_first_forward_s",
+                      round(time.perf_counter() - t0, 1))
     ts = []
-    for _ in range(10):
+    for _ in range(_q(10, 5)):
         t0 = time.perf_counter()
         cm.net_forward_fullres(input_ab, mask)
         ts.append(time.perf_counter() - t0)
@@ -219,14 +251,15 @@ def bench_click_latency(extras):
     for _ in range(3):
         cm.net_forward(input_ab, mask)
     lat = []
-    for i in range(40):
+    for i in range(_q(40, 12)):
         put_point(input_ab, mask, [40 + (i % 8) * 20, 60], 2,
                   [((i * 7) % 100) - 50, ((i * 13) % 100) - 50])
         t0 = time.perf_counter()
         cm.net_forward(input_ab, mask)
         lat.append(time.perf_counter() - t0)
     lat = np.sort(lat) * 1000.0
-    extras["p95_ms"] = round(float(lat[int(len(lat) * 0.95)]), 2)
+    extras["p95_ms"] = round(float(lat[min(int(len(lat) * 0.95),
+                                           len(lat) - 1)]), 2)
     extras["dense_path_p50_ms"] = round(float(lat[len(lat) // 2]), 2)
 
     # the GUI's actual click path: fixed-slot hint table, device
@@ -239,7 +272,8 @@ def bench_click_latency(extras):
     boxes[1] = [98, 158, 102, 162]; vals[1] = [0, 0]
     cm.net_forward_table(boxes, vals, 2)
 
-    def click_loop(n=40):
+    def click_loop(n=None):
+        n = _q(40, 15) if n is None else n
         lat_ = []
         for i in range(n):
             k = 2 + (i % (MAX_HINTS - 2))
@@ -253,7 +287,7 @@ def bench_click_latency(extras):
     tlat = click_loop()
     extras["f32_table_click_p50_ms"] = round(float(tlat[len(tlat) // 2]), 2)
     extras["f32_table_click_p95_ms"] = round(
-        float(tlat[int(len(tlat) * .95)]), 2)
+        float(tlat[min(int(len(tlat) * .95), len(tlat) - 1)]), 2)
 
     # HEADLINE: the same click loop in bfloat16 — the PRODUCT DEFAULT
     # precision of both the GUI (--dtype bfloat16) and apps/serve since
@@ -273,7 +307,9 @@ def bench_click_latency(extras):
     cm.net_forward_table(boxes, vals, 2)     # warm the bf16 program
     blat = click_loop()
     extras["headline_dtype"] = "bfloat16"
-    extras["p95_ms"] = round(float(blat[int(len(blat) * .95)]), 2)
+    extras["headline_reps"] = int(len(blat))
+    extras["p95_ms"] = round(float(blat[min(int(len(blat) * .95),
+                                            len(blat) - 1)]), 2)
     # the GUI-default WINDOW click on the HEADLINE backend + precision
     # (SIGGRAPH, bf16): net-res table click + host window compose — the
     # apples-to-apples "what a GUI user feels" number next to the
@@ -288,7 +324,7 @@ def bench_click_latency(extras):
     l_win_np = np.zeros((wb, wb, 1), np.float32)
     cm.net_forward_table_win_host(boxes, vals, 8, l_win_np, rh_np, rw_np)
     wlat = []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[9] = [100 + i, 100, 106 + i, 106]
         vals[9] = [10, 20]
         t0 = time.perf_counter()
@@ -296,7 +332,7 @@ def bench_click_latency(extras):
                                       rw_np)
         wlat.append(time.perf_counter() - t0)
     extras["win_click_host_siggraph_p50_ms"] = round(
-        float(np.sort(wlat)[10]) * 1000.0, 2)
+        float(np.sort(wlat)[len(wlat) // 2]) * 1000.0, 2)
     cm.params = f32_params
 
     # transport floor control for tail attribution: dispatch + 8-byte
@@ -308,13 +344,14 @@ def bench_click_latency(extras):
     z = jnp.zeros((2,), jnp.float32)
     _sync(tiny(z))
     flat = []
-    for _ in range(40):
+    for _ in range(_q(40, 20)):
         t0 = time.perf_counter()
         _sync(tiny(z))
         flat.append(time.perf_counter() - t0)
     flat = np.sort(flat) * 1000.0
-    extras["rpc_floor_p50_ms"] = round(float(flat[20]), 2)
-    extras["rpc_floor_p95_ms"] = round(float(flat[38]), 2)
+    extras["rpc_floor_p50_ms"] = round(float(flat[len(flat) // 2]), 2)
+    extras["rpc_floor_p95_ms"] = round(
+        float(flat[min(int(len(flat) * .95), len(flat) - 1)]), 2)
     return float(blat[len(blat) // 2]), cm
 
 
@@ -328,7 +365,7 @@ def bench_throughput(cm, extras):
     run = lambda: siggraph.apply(cm.params, A, B, M, 0.0,  # noqa: E731
                                  precision_name="default")
     _sync(run())
-    N = 100
+    N = _q(100, 40)
     t0 = time.perf_counter()
     for _ in range(N - 1):
         run()
@@ -353,9 +390,9 @@ def bench_drag_pipeline(cm, extras):
     # 3 reps, median + spread: this metric is transport-bound and swung
     # -37% r01->r02 purely from tunnel variance/host contention (VERDICT
     # r2 weak #3) — the spread makes run-to-run noise visible in-run
-    N = 30
+    N = _q(30, 20)
     rates = []
-    for _ in range(3):
+    for _ in range(_q(3, 2)):
         t0 = time.perf_counter()
         for i in range(N):
             boxes[0] = [60, 60 + i, 64, 64 + i]
@@ -385,7 +422,7 @@ def bench_batched_serving(extras):
     run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
                                        jnp.float32(0.0))
     _sync(run()[0])
-    reps = 30
+    reps = _q(30, 10)
     t0 = time.perf_counter()
     for _ in range(reps - 1):
         run()
@@ -422,7 +459,7 @@ def bench_student(extras):
         run = lambda: batch_forward_frames(params, l, hab, hm,  # noqa: E731
                                            jnp.float32(0.0))
         _sync(run()[0])
-        reps = 20
+        reps = _q(20, 8)
         t0 = time.perf_counter()
         for _ in range(reps - 1):
             run()
@@ -471,7 +508,7 @@ def bench_dist_fused_click(extras):
     m.net_forward_table_suggest_host(boxes, vals, 1, l_win_np, rh_np,
                                      rw_np, d, 130, 150, K=9)   # compile
     ts = []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         vals[1] = [10, 20]
         t0 = time.perf_counter()
@@ -479,32 +516,33 @@ def bench_dist_fused_click(extras):
                                          rw_np, d, 100 + i, 100, K=9)
         ts.append(time.perf_counter() - t0)
     ts = np.sort(ts) * 1000.0
-    extras["dist_click_fused_p50_ms"] = round(float(ts[10]), 2)
-    extras["dist_click_fused_p95_ms"] = round(float(ts[18]), 2)
+    extras["dist_click_fused_p50_ms"] = round(float(ts[len(ts) // 2]), 2)
+    extras["dist_click_fused_p95_ms"] = round(
+        float(ts[min(int(len(ts) * .95), len(ts) - 1)]), 2)
     # device-window variant kept for the decomposition record
     m.net_forward_table_win_suggest(boxes, vals, 1, l_win_pad, rh, rw,
                                     d, 130, 150, K=9)       # compile
     ts3 = []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         t0 = time.perf_counter()
         m.net_forward_table_win_suggest(boxes, vals, 2, l_win_pad, rh, rw,
                                         d, 100 + i, 100, K=9)
         ts3.append(time.perf_counter() - t0)
     extras["dist_click_devwin_p50_ms"] = round(
-        float(np.sort(ts3)[10]) * 1000.0, 2)
+        float(np.sort(ts3)[len(ts3) // 2]) * 1000.0, 2)
     # plain (non-dist) GUI window click, host-compose variant — the
     # default GUI click cost on this transport
     m.net_forward_table_win_host(boxes, vals, 1, l_win_np, rh_np, rw_np)
     ts4 = []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         t0 = time.perf_counter()
         m.net_forward_table_win_host(boxes, vals, 2, l_win_np, rh_np,
                                      rw_np)
         ts4.append(time.perf_counter() - t0)
     extras["win_click_host_p50_ms"] = round(
-        float(np.sort(ts4)[10]) * 1000.0, 2)
+        float(np.sort(ts4)[len(ts4) // 2]) * 1000.0, 2)
     # stage decomposition of the GUI window click (VERDICT r3 task 5):
     # the win click IS net_forward_table + compose_window_host on this
     # backend — time each stage separately so the residual between the
@@ -515,7 +553,7 @@ def bench_dist_fused_click(extras):
     # apples-to-apples GUI-click number for the headline model.
     from ideepcolor_tpu.api.colorize import compose_window_host
     t_net, t_comp = [], []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         t0 = time.perf_counter()
         out = m.net_forward_table(boxes, vals, 2)
@@ -525,11 +563,11 @@ def bench_dist_fused_click(extras):
         t_net.append(t1 - t0)
         t_comp.append(t2 - t1)
     extras["win_click_stage_net_p50_ms"] = round(
-        float(np.sort(t_net)[10]) * 1000.0, 2)
+        float(np.sort(t_net)[len(t_net) // 2]) * 1000.0, 2)
     extras["win_click_stage_compose_p50_ms"] = round(
-        float(np.sort(t_comp)[10]) * 1000.0, 2)
+        float(np.sort(t_comp)[len(t_comp) // 2]) * 1000.0, 2)
     ts2 = []
-    for i in range(20):
+    for i in range(_q(20, 8)):
         boxes[1] = [100 + i, 100, 106 + i, 106]
         t0 = time.perf_counter()
         d.get_ab_reccs(100 + i, 100, K=9, N=25000, return_conf=True)
@@ -537,7 +575,7 @@ def bench_dist_fused_click(extras):
         m.net_forward_table_win(boxes, vals, 2, l_win_pad, rh, rw)
         ts2.append(time.perf_counter() - t0)
     extras["dist_click_unfused_p50_ms"] = round(
-        float(np.sort(ts2)[10]) * 1000.0, 2)
+        float(np.sort(ts2)[len(ts2) // 2]) * 1000.0, 2)
 
 
 def bench_trained_quality(extras):
@@ -551,7 +589,8 @@ def bench_trained_quality(extras):
     if not os.path.exists(teacher_path):
         return
     import jax
-    from ideepcolor_tpu.apps.eval import curve_auc, evaluate
+    from ideepcolor_tpu.apps.eval import (auc_spread, curve_auc, evaluate,
+                                          per_image_auc)
     from ideepcolor_tpu.models import siggraph
 
     # deterministic holdout set (never trained on): built by
@@ -585,12 +624,19 @@ def bench_trained_quality(extras):
         return siggraph.params_from_state_dict(_load_checkpoint(path))
 
     def auc_of(params):
-        curve = evaluate(params, images, counts, batch=len(images))
-        return curve, curve_auc(curve)
+        curve, per_img = evaluate(params, images, counts,
+                                  batch=len(images),
+                                  return_per_image=True)
+        return curve, curve_auc(curve), per_image_auc(per_img)
 
     tp = params_of(teacher_path)
-    curve, auc = auc_of(tp)
+    curve, auc, t_aucs = auc_of(tp)
     extras["eval_auc_db"] = round(auc, 2)
+    # per-image spread: the honesty bars behind the small-holdout mean
+    # (VERDICT r4 task 6 — "teacher > student by 0.19 dB" must be
+    # distinguishable from n=3 noise)
+    for k, v in auc_spread(t_aucs).items():
+        extras[f"eval_{k}"] = v
     extras["eval_psnr_0_hints_db"] = round(curve[0], 2)
     extras["eval_psnr_25_hints_db"] = round(curve[25], 2)
     extras["eval_curve_monotone"] = bool(
@@ -615,9 +661,22 @@ def bench_trained_quality(extras):
         spath = os.path.join(wdir, f"student_{tag}.npz")
         if os.path.exists(spath):
             sp = params_of(spath)
-            _c, sauc = auc_of(sp)
+            _c, sauc, s_aucs = auc_of(sp)
             extras[f"student_{tag}_auc_db"] = round(sauc, 2)
             extras[f"student_{tag}_auc_drop_db"] = round(auc - sauc, 2)
+            # PAIRED per-image drops (same images, same hint keys): the
+            # stderr of the drop itself, much tighter than comparing two
+            # independent means on a handful of images
+            drops = t_aucs - s_aucs
+            if len(drops) > 1:
+                extras[f"student_{tag}_auc_drop_stderr_db"] = round(
+                    float(drops.std(ddof=1) / np.sqrt(len(drops))), 2)
+            if QUICK:
+                # student hint-fidelity is the most expensive non-AUC
+                # sweep; the coverage pass keeps the AUC drops (the
+                # distillation contract) and leaves fidelity to the
+                # teacher row above
+                continue
             sfid = hint_fidelity(sp, images, batch=len(images),
                                  counts=(1,), rotations=(0.0, 180.0))
             extras[f"student_{tag}_hint_deltaE_1"] = sfid["deltaE_h1_rot0"]
@@ -645,7 +704,7 @@ def bench_global_hints(extras):
     mask = np.zeros((1, 256, 256))
     m.net_forward(ab, mask, glob)
     ts = []
-    for _ in range(10):
+    for _ in range(_q(10, 5)):
         t0 = time.perf_counter()
         m.net_forward(ab, mask, glob)
         ts.append(time.perf_counter() - t0)
@@ -653,7 +712,7 @@ def bench_global_hints(extras):
     # fused glob forward + full-res (one synchronization point)
     m.net_forward_fullres(ab, mask, glob)
     ts = []
-    for _ in range(10):
+    for _ in range(_q(10, 5)):
         t0 = time.perf_counter()
         m.net_forward_fullres(ab, mask, glob)
         ts.append(time.perf_counter() - t0)
@@ -676,7 +735,7 @@ def bench_batch_fullres(extras):
     ab = jnp.asarray(rng.uniform(-80, 80, (CH, 256, 256, 2))
                      .astype(np.float32))
     _sync(batch_fullres_fuse(l_full, ab, (HW, HW)))
-    reps = 2
+    reps = _q(2, 1)
     t0 = time.perf_counter()
     for _ in range(reps):
         for _ in range(N // CH - 1):
@@ -707,7 +766,7 @@ def bench_http_serving(extras):
         c.request("POST", "/colorize", body=body)   # warm/compile
         c.getresponse().read()
         ts = []
-        for _ in range(5):
+        for _ in range(_q(5, 3)):
             t0 = time.perf_counter()
             c.request("POST", "/colorize", body=body)
             c.getresponse().read()
@@ -722,11 +781,12 @@ def bench_http_serving(extras):
         payload = buf.getvalue()
         c.request("POST", "/colorize_batch", body=payload)   # warm
         c.getresponse().read()
+        nb = _q(3, 2)
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(nb):
             c.request("POST", "/colorize_batch", body=payload)
             c.getresponse().read()
-        dt = (time.perf_counter() - t0) / 3
+        dt = (time.perf_counter() - t0) / nb
         extras["http_batch16_imgs_per_sec"] = round(16 / dt, 1)
 
         # interactive session: image device-resident, clicks ship only
@@ -738,7 +798,7 @@ def bench_http_serving(extras):
                   body=json.dumps(hints).encode())
         c.getresponse().read()      # warm
         ts = []
-        for i in range(10):
+        for i in range(_q(10, 6)):
             hints[0]["y"] = 100 + i * 5
             t0 = time.perf_counter()
             c.request("POST", f"/session/click?id={sid}",
@@ -780,7 +840,7 @@ def bench_http_serving(extras):
         # (the r3 autobatch collapse; the server's listen backlog is now
         # 128, so resets should be gone at 16-way)
         rates, batches = [], []
-        for trial in range(4):
+        for trial in range(_q(4, 2)):
             statuses.clear()
             d0, r0 = svc.batcher.dispatches, svc.batcher.batched_requests
             threads = [threading.Thread(target=one_netres, args=(i,))
@@ -825,8 +885,9 @@ def bench_serve_soak(extras):
     (load-skew hardening evidence — sessions ride the small-upload table
     path, so RSS must stay bounded on this leaky transport).
     Duration via IDEEPCOLOR_SOAK_SECS (default 60; 120 in full mode)."""
-    secs = float(os.environ.get("IDEEPCOLOR_SOAK_SECS",
-                                "120" if _full_mode() else "60"))
+    secs = float(os.environ.get(
+        "IDEEPCOLOR_SOAK_SECS",
+        "120" if _full_mode() else str(_q(60, 30))))
     # never let the soak run the budget out: leave room for the CPU
     # control + the emit (the watchdog would still save the record, but
     # a clamped soak gives a complete one)
@@ -938,7 +999,7 @@ def bench_soak_cpu_control(extras):
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "soak_control.py")
     secs = os.environ.get("IDEEPCOLOR_CONTROL_SECS",
-                          "45" if _full_mode() else "30")
+                          "45" if _full_mode() else str(_q(30, 20)))
     try:
         out = subprocess.run(
             [sys.executable, script, "--secs", secs],
@@ -1045,12 +1106,25 @@ def bench_recycle_soak(extras):
             "127.0.0.1", port, conns, body, secs,
             ("click", "fullres", "click", "netres"),
             size=256, timeout=600, retry_busy=True, counters=counters)
+        # final health probe (VERDICT r4 task 4: soak10_rss_end_mb = -1
+        # is no longer possible silently): prefer a steady-state reading,
+        # fall back to a mid-boot one (/healthz now reports rss_mb while
+        # booting too), and if nothing answers record a LOUD probe error
         t1 = time.time()
         h1 = None
-        while h1 is None and time.time() - t1 < 300:
-            h1 = health(port)
-            if h1 is None:
-                time.sleep(2)
+        while time.time() - t1 < 300:
+            h = health(port)
+            if h is not None:
+                h1 = h
+                if h.get("status") != "booting":
+                    break
+            time.sleep(2)
+        if h1 is None:
+            extras["soak10_rss_probe_error"] = \
+                "no /healthz response within 300s of soak end"
+        elif h1.get("status") == "booting":
+            extras["soak10_rss_probe_note"] = \
+                "rss read mid-boot (recycled gen still booting)"
         all_ms = sorted(x * 1e3 for v in lat.values() for x in v)
         q = lambda p: round(all_ms[int(p * (len(all_ms) - 1))], 1)  # noqa
         extras["soak10_secs"] = secs
@@ -1119,7 +1193,8 @@ def bench_backpressure(extras):
                  for _ in range(12)]
         counters: dict = {}
         lat, _ = soakload.run_clients(
-            host, port, conns, body, 20.0 if _full_mode() else 12.0,
+            host, port, conns, body,
+            20.0 if _full_mode() else float(_q(12, 8)),
             ("fullres",),
             size=256, timeout=600, retry_busy=True, counters=counters)
         v = sorted(lat["fullres"])
@@ -1156,9 +1231,9 @@ def bench_streaming(extras):
         sess.submit(f)
     list(sess.drain())
     # 3 reps + spread (transport-bound; see drag_pipeline note)
-    N = 60
+    N = _q(60, 30)
     rates = []
-    for _ in range(3):
+    for _ in range(_q(3, 2)):
         t0 = time.perf_counter()
         got = 0
         for i in range(N):
@@ -1173,36 +1248,52 @@ def bench_streaming(extras):
 
 # rough warm-cache cost estimates per config (seconds), used only to
 # decide whether a config still fits the remaining budget; actuals land
-# in extras["stage_secs"] each run for recalibration
+# in extras["stage_secs"] each run for recalibration. (full-rep, quick-rep)
 CONFIG_ESTIMATES_S = {
-    "bench_throughput": 8,
-    "bench_drag_pipeline": 8,
-    "bench_dist_fused_click": 40,
-    "bench_trained_quality": 75,
-    "bench_http_serving": 60,
-    "bench_batched_serving": 15,
-    "bench_student": 40,
-    "bench_global_hints": 20,
-    "bench_batch_fullres": 25,
-    "bench_streaming": 20,
-    "bench_backpressure": 30,
-    "bench_serve_soak": 120,
-    "bench_soak_cpu_control": 60,
+    "bench_throughput": (8, 5),
+    "bench_drag_pipeline": (8, 5),
+    "bench_dist_fused_click": (40, 25),
+    "bench_trained_quality": (110, 70),
+    "bench_http_serving": (60, 35),
+    "bench_batched_serving": (15, 8),
+    "bench_student": (40, 20),
+    "bench_global_hints": (20, 12),
+    "bench_batch_fullres": (25, 15),
+    "bench_streaming": (20, 12),
+    "bench_backpressure": (30, 22),
+    "bench_serve_soak": (120, 75),
+    "bench_soak_cpu_control": (60, 35),
 }
+
+# every family the bench measures — pre-registered as skipped at start so
+# a watchdog exit still reports exactly what was never reached (VERDICT
+# r4 task 1: 9 families vanished from the record without a trace)
+ALL_FAMILIES = (("baseline_torch_cpu", "bench_recycle_soak",
+                 "bench_click_latency")
+                + tuple(CONFIG_ESTIMATES_S))
+
+
+def _est(name: str) -> float:
+    full, quick = CONFIG_ESTIMATES_S.get(name, (30, 20))
+    return quick if QUICK else full
 
 
 def run_configs(fns, state, needs_cm=(), estimates=None):
     """Run each config unless its estimated cost no longer fits the
-    remaining budget (then record {name}_skipped='budget' and move on);
-    exceptions never kill the run; actual per-stage seconds recorded."""
+    remaining budget (then its pre-registered {name}_skipped='budget'
+    marker stays and we move on); exceptions never kill the run; actual
+    per-stage seconds recorded. ``estimates`` (scalar seconds per name)
+    overrides the tiered CONFIG_ESTIMATES_S table, for tests."""
     extras = state["extras"]
     stage = extras.setdefault("stage_secs", {})
-    est = estimates if estimates is not None else CONFIG_ESTIMATES_S
     for fn in fns:
         name = fn.__name__
-        if _remaining() < est.get(name, 30):
+        cost = (estimates.get(name, 30) if estimates is not None
+                else _est(name))
+        if _remaining() < cost:
             extras[f"{name}_skipped"] = "budget"
             continue
+        extras.pop(f"{name}_skipped", None)
         t0 = time.perf_counter()
         try:
             fn(state["cm"], extras) if fn in needs_cm else fn(extras)
@@ -1275,7 +1366,7 @@ def _arm_deadline_watchdog(state, deadline):
 
 
 def main():
-    global DEADLINE
+    global DEADLINE, QUICK
     import threading
     # stray exceptions in helper threads must never spray tracebacks over
     # the bench tail (VERDICT r1 weak #3) — one clean line each
@@ -1283,20 +1374,31 @@ def main():
         f"# bench thread error: {a.exc_type.__name__}: "
         f"{str(a.exc_value)[:120]}", file=sys.stderr)
     DEADLINE = time.time() + _budget_secs()
+    QUICK = not _full_mode()        # coverage tier under the driver budget
     extras = {}
+    for name in ALL_FAMILIES:       # pre-register; popped when reached
+        extras[f"{name}_skipped"] = "budget"
     state = {"extras": extras, "p50": None, "cm": None, "device": "unknown",
              "baseline_ms": None, "emitted": False,
              "emit_lock": threading.Lock()}
     _arm_deadline_watchdog(state, DEADLINE)
-    # the recycle soak runs FIRST: its server subprocess must own the
+    stage = extras.setdefault("stage_secs", {})
+    # the torch-CPU baseline FIRST: ~10 s of pure CPU before any TPU
+    # process exists, so vs_baseline can never be the fallback constant
+    # again (r4's watchdog exited before the tail ever measured it)
+    extras.pop("baseline_torch_cpu_skipped", None)
+    t0 = time.perf_counter()
+    state["baseline_ms"] = measure_baseline_torch_cpu()
+    stage["baseline_torch_cpu"] = round(time.perf_counter() - t0, 1)
+    # the recycle soak runs next: its server subprocess must own the
     # chip alone, so it precedes this process's own device init
+    extras.pop("bench_recycle_soak_skipped", None)
     t0 = time.perf_counter()
     try:
         bench_recycle_soak(extras)
     except Exception as e:
         extras["bench_recycle_soak_error"] = str(e)[:160]
-    extras.setdefault("stage_secs", {})["bench_recycle_soak"] = round(
-        time.perf_counter() - t0, 1)
+    stage["bench_recycle_soak"] = round(time.perf_counter() - t0, 1)
     import jax
     # guard device enumeration + first dispatch against the post-kill wedge
     # budget-aware stall threshold: under the default 12-min budget a
@@ -1310,6 +1412,7 @@ def main():
     import jax.numpy as jnp
     _sync(jnp.ones((), jnp.float32) + 1.0)
     disarm()
+    extras.pop("bench_click_latency_skipped", None)
     t0 = time.perf_counter()
     try:
         p50, cm = bench_click_latency(extras)
@@ -1318,8 +1421,7 @@ def main():
         # never exit without the JSON line: degrade to the dense-path
         # p50 if the table path failed mid-run, else report the failure
         extras["headline_error"] = str(e)[:160]
-    extras["stage_secs"]["bench_click_latency"] = round(
-        time.perf_counter() - t0, 1)
+    stage["bench_click_latency"] = round(time.perf_counter() - t0, 1)
     run_configs(
         (bench_throughput, bench_drag_pipeline, bench_dist_fused_click,
          bench_trained_quality, bench_http_serving, bench_batched_serving,
@@ -1327,7 +1429,19 @@ def main():
          bench_streaming, bench_backpressure, bench_serve_soak,
          bench_soak_cpu_control),
         state, needs_cm=(bench_throughput, bench_drag_pipeline))
-    state["baseline_ms"] = measure_baseline_torch_cpu()
+    # DEEPEN pass: every family has a number now; spend what's left
+    # re-running the headline click loops at full reps (programs are
+    # compiled in-process — this is pure dispatch time, ~60 s)
+    if QUICK and state["p50"] is not None and _remaining() > 90:
+        QUICK = False
+        t0 = time.perf_counter()
+        try:
+            p50, cm = bench_click_latency(extras, cm=state["cm"])
+            state["p50"], state["cm"] = p50, cm
+        except Exception as e:
+            extras["headline_deepen_error"] = str(e)[:160]
+        stage["bench_click_latency_deep"] = round(
+            time.perf_counter() - t0, 1)
     _emit_once(state)
 
 
@@ -1341,6 +1455,7 @@ HEADLINE_KEYS = (
     "drag_pipeline_events_per_sec",
     "streaming_fps", "batch16_bf16_imgs_per_sec",
     "teacher_batch128_bf16_imgs_per_sec", "eval_auc_db",
+    "eval_auc_stderr_db",
     "hint_deltaE_1", "hint_deltaE_counterfactual_1", "hint_radius_r90_px",
     "soak_recycles", "soak10_rss_end_mb", "soak10_dropped_sessions",
     "soak10_p99_ms", "soak_bulk_shed", "soak_rss_growth_mb",

@@ -136,13 +136,19 @@ def make_eval_step(maskcent: float, half: int):
 
 
 def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
-             half=2):
+             half=2, return_per_image=False):
     """-> {count: mean PSNR} over all images (padded tail dropped).
 
     images: an (N,S,S,3) array, or an iterable of (n,S,S,3) chunks
     (streaming; host memory bounded at one chunk). Chunks loop OUTER and
     counts inner, so each image decodes once and every count sees the
-    same hint locations (same per-chunk key)."""
+    same hint locations (same per-chunk key).
+
+    return_per_image=True returns (curve, per_image) where per_image is
+    {count: np.ndarray of per-image PSNRs in stream order} — the raw
+    samples behind the mean, for spread / paired comparisons (an AUC on
+    a handful of holdout images is only meaningful with its variance —
+    VERDICT r4 task 6)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -160,7 +166,7 @@ def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
         images = (arr[i:i + batch] for i in range(0, len(arr), batch))
 
     step = make_eval_step(maskcent, half)
-    sums = {int(k): 0.0 for k in counts}
+    per = {int(k): [] for k in counts}
     seen = 0
     for ci, chunk in enumerate(images):
         chunk = np.asarray(chunk)
@@ -173,10 +179,16 @@ def evaluate(params, images, counts, batch=8, seed=0, maskcent=0.0,
         key = jax.random.key(seed + ci * batch)
         for k in counts:
             psnr = step(params, dev, key, jnp.int32(k))
-            sums[int(k)] += float(np.asarray(psnr)[:n].sum())
+            per[int(k)].append(np.asarray(psnr)[:n])
         seen += n
-    return {k: (s / seen if seen else float("nan"))
-            for k, s in sums.items()}
+    curve = {k: (float(np.concatenate(v).mean()) if seen
+                 else float("nan"))
+             for k, v in per.items()}
+    if return_per_image:
+        return curve, {k: (np.concatenate(v) if seen
+                           else np.zeros((0,), np.float32))
+                       for k, v in per.items()}
+    return curve
 
 
 @functools.lru_cache(maxsize=4)
@@ -417,18 +429,29 @@ def main(argv=None):
         return 1
     counts = [int(c) for c in args.hints.split(",")]
     chunks = iter_image_chunks(paths, args.size, args.batch)
-    curve = evaluate(params, chunks, counts, batch=args.batch,
-                     seed=args.seed, maskcent=args.maskcent,
-                     half=args.half)
+    curve, per_img = evaluate(params, chunks, counts, batch=args.batch,
+                              seed=args.seed, maskcent=args.maskcent,
+                              half=args.half, return_per_image=True)
     print(f"{len(paths)} images @ {args.size}px"
           + (f", weights={args.weights}" if args.weights else
              " (RANDOM weights — harness smoke, not a quality claim)"))
     for k, v in curve.items():
-        print(f"hints={k:3d}  psnr={v:6.2f} dB")
+        pv = per_img[k]
+        spread = (f"   [{pv.min():5.2f} .. {pv.max():5.2f}]"
+                  if len(pv) else "")
+        print(f"hints={k:3d}  psnr={v:6.2f} dB{spread}")
     auc = curve_auc(curve)
+    spread = None
     if auc is not None:
+        aucs = per_image_auc(per_img)
+        spread = auc_spread(aucs)
+        se = spread["auc_stderr_db"]
         print(f"AUC (mean PSNR over hint counts, trapezoid): "
-              f"{auc:.2f} dB")
+              f"{auc:.2f} dB"
+              + (f" ± {se:.2f} (stderr, n={spread['n_images']}; "
+                 f"min {spread['auc_min_db']:.2f}, "
+                 f"max {spread['auc_max_db']:.2f})"
+                 if se is not None else ""))
     fid = None
     if args.fidelity:
         images = load_eval_images(paths, args.size)
@@ -441,7 +464,11 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump({"size": args.size, "n_images": len(paths),
                        "weights": args.weights, "psnr_by_hints": curve,
-                       "auc_db": auc, "fidelity": fid}, f)
+                       "auc_db": auc, "auc_spread": spread,
+                       "psnr_per_image_by_hints":
+                           {k: [round(float(x), 2) for x in v]
+                            for k, v in per_img.items()},
+                       "fidelity": fid}, f)
         print(f"wrote {args.out}")
     if args.save_grid:
         images = load_eval_images(paths, args.size)
@@ -462,6 +489,34 @@ def curve_auc(curve: dict) -> float | None:
         return None
     vs = np.asarray([curve[int(k)] for k in ks], np.float64)
     return float(np.trapezoid(vs, ks) / (ks[-1] - ks[0]))
+
+
+def per_image_auc(per_image: dict):
+    """Per-image AUC vector from evaluate(..., return_per_image=True)'s
+    second return: the raw samples behind curve_auc's mean (mean of
+    these == curve_auc of the mean curve, trapezoid being linear)."""
+    import numpy as np
+    ks = np.asarray(sorted(int(k) for k in per_image), np.float64)
+    if len(ks) < 2:
+        return None
+    vs = np.stack([np.asarray(per_image[int(k)], np.float64)
+                   for k in ks], axis=0)        # (counts, images)
+    return np.trapezoid(vs, ks, axis=0) / (ks[-1] - ks[0])
+
+
+def auc_spread(aucs) -> dict:
+    """min / max / stderr summary for a per-image AUC vector — the
+    honesty bars for a small-holdout mean (VERDICT r4 task 6)."""
+    import numpy as np
+    a = np.asarray(aucs, np.float64)
+    n = len(a)
+    return {
+        "n_images": int(n),
+        "auc_min_db": round(float(a.min()), 2) if n else None,
+        "auc_max_db": round(float(a.max()), 2) if n else None,
+        "auc_stderr_db": (round(float(a.std(ddof=1) / np.sqrt(n)), 2)
+                          if n > 1 else None),
+    }
 
 
 if __name__ == "__main__":

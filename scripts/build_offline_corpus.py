@@ -21,10 +21,15 @@ import sys
 
 REF = "/root/reference"
 
-# held out of training, used for the eval curve (an ImageNet val frame
-# from each ref set plus a bundled sample — three distinct sources)
+# held out of training, used for the eval curve. Six images spanning
+# every source family (three ImageNet val frames, sklearn's china +
+# flower, matplotlib's grace_hopper portrait): widened from 3 in round 5
+# so AUC claims carry a variance bound (VERDICT r4 task 6) — the train
+# split shrinks to ~10 images, accepted.
 HOLDOUT_NAMES = {"ILSVRC2012_val_00002202.JPEG",
-                 "ILSVRC2012_val_00049978.JPEG", "china.jpg"}
+                 "ILSVRC2012_val_00049978.JPEG",
+                 "ILSVRC2012_val_00048203.JPEG",
+                 "flower.jpg", "china.jpg", "grace_hopper.jpg"}
 
 # single-channel sources are useless as color ground truth
 SKIP_NAMES = {"balls_gray.JPEG", "bird_gray.jpg", "demo.gif"}
@@ -98,15 +103,18 @@ def gather(out_dir: str) -> tuple[list, list]:
         train.append(f"{out_dir}/train/scipy_face.jpg")
     except Exception as e:
         print(f"skip scipy face: {e}", file=sys.stderr)
-    # matplotlib's grace_hopper portrait
+    # matplotlib's grace_hopper portrait (holdout-eligible like the rest)
     try:
         import matplotlib
         mpl_img = os.path.join(os.path.dirname(matplotlib.__file__),
                                "mpl-data", "sample_data",
                                "grace_hopper.jpg")
         if os.path.exists(mpl_img):
-            shutil.copy(mpl_img, f"{out_dir}/train/grace_hopper.jpg")
-            train.append(f"{out_dir}/train/grace_hopper.jpg")
+            split = ("holdout" if "grace_hopper.jpg" in HOLDOUT_NAMES
+                     else "train")
+            dst = f"{out_dir}/{split}/grace_hopper.jpg"
+            shutil.copy(mpl_img, dst)
+            (holdout if split == "holdout" else train).append(dst)
     except ImportError:
         pass
     # pygame's webcam sample (320x240 indoor photo) — the last real

@@ -134,3 +134,37 @@ def test_main_emits_exactly_once_when_watchdog_already_fired():
              "baseline_ms": 2.0, "emitted": True,
              "emit_lock": threading.Lock()}
     assert bench._emit_once(state) is False
+
+
+def test_every_family_preregistered_and_real(monkeypatch):
+    """VERDICT r4 task 1: every config family main() drives must be in
+    ALL_FAMILIES (pre-registered as skipped at start, so a watchdog exit
+    still reports exactly what was never reached) and must exist."""
+    for n in ("baseline_torch_cpu", "bench_recycle_soak",
+              "bench_click_latency"):
+        assert n in bench.ALL_FAMILIES
+    for n in bench.CONFIG_ESTIMATES_S:
+        assert n in bench.ALL_FAMILIES
+        assert callable(getattr(bench, n)), n
+
+
+def test_preregistered_skip_cleared_when_config_runs(monkeypatch):
+    monkeypatch.setattr(bench, "DEADLINE", time.time() + 1000.0)
+
+    def cheap(extras):
+        extras["cheap_done"] = True
+
+    cheap.__name__ = "bench_cheap"
+    state = {"extras": {"bench_cheap_skipped": "budget"}, "cm": None}
+    bench.run_configs((cheap,), state, estimates={"bench_cheap": 1})
+    assert "bench_cheap_skipped" not in state["extras"]
+    assert state["extras"]["cheap_done"]
+
+
+def test_quick_tier_trims_reps(monkeypatch):
+    monkeypatch.setattr(bench, "QUICK", True)
+    assert bench._q(40, 15) == 15
+    assert bench._est("bench_http_serving") < \
+        bench.CONFIG_ESTIMATES_S["bench_http_serving"][0]
+    monkeypatch.setattr(bench, "QUICK", False)
+    assert bench._q(40, 15) == 40

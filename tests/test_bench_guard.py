@@ -58,7 +58,11 @@ def test_stall_fires_nudge_then_disarm_stops_it(monkeypatch):
     assert 1 <= n_at_disarm <= 5
     assert len(calls) == n_at_disarm
     cmd = calls[0][0][0]
-    assert cmd[0] == sys.executable
+    # self-limiting wrapper: an orphaned nudge (deadline watchdog
+    # os._exit) must time itself out GRACEFULLY (SIGINT) instead of
+    # sitting in the device-claim queue blocking the next TPU process
+    assert cmd[:3] == ["timeout", "-s", "INT"]
+    assert sys.executable in cmd
     assert "import jax" in cmd[-1]
 
 
