@@ -58,7 +58,11 @@ def _full_mode() -> bool:
 
 
 def _budget_secs() -> float:
-    dflt = "86400" if _full_mode() else "720"
+    # 780 s = 13 min: the driver kills at ~16 min, the watchdog emits at
+    # deadline - EMIT_RESERVE_S, and the extra minute over r4's 12 lets
+    # the 14-family coverage pass absorb a slow device-claim handover
+    # without losing tail configs
+    dflt = "86400" if _full_mode() else "780"
     return float(os.environ.get("IDEEPCOLOR_BENCH_BUDGET_S", dflt))
 
 
