@@ -103,83 +103,11 @@ def _sync(x):
 
 
 def _unwedge_guard(stall_s: float = 120.0):
-    """Arm a watchdog for the wedged-first-dispatch failure mode.
-
-    After an ungraceful kill of a previous TPU process, this process's
-    device enumeration or FIRST dispatch can wedge indefinitely in a futex
-    wait on the tunnel (0 CPU); starting a second tiny jax process
-    ("nudge") reliably unwedges it within seconds (observed repeatedly —
-    see CLAUDE.md). The driver runs bench.py unattended, so recover
-    automatically: if the first dispatch hasn't completed within
-    ``stall_s``, fire the nudge subprocess, logging one clean line per
-    attempt, and keep nudging (up to 5 attempts) until disarmed. The
-    nudge gets a 7-minute window: full lease recovery after a wedged
-    period was measured at ~200 s, and killing a nudge mid-dispatch is
-    itself an ungraceful kill that can prolong the bad state — so the
-    nudge is tracked (never orphaned): disarm waits for an in-flight
-    nudge to finish, and the timeout-kill path logs loudly that it may
-    have re-armed the bad state. The default stall is 2 minutes so a
-    merely-cold compile cache or slow lease recovery doesn't trip a
-    spurious nudge (a cold first compile is ~20-40 s).
-
-    Returns a disarm callable to invoke once the first dispatch+readback
-    has completed; ``disarm.thread`` exposes the watchdog thread so tests
-    can join it before asserting call counts.
-    """
-    import threading
-    import subprocess
-
-    done = threading.Event()
-    inflight = {"proc": None}
-
-    def watchdog():
-        for attempt in range(1, 6):
-            if done.wait(stall_s):
-                return
-            print(f"# first dispatch stalled >{stall_s:.0f}s (wedged "
-                  f"tunnel, or an unusually slow cold start); "
-                  f"nudge attempt {attempt}/5", file=sys.stderr)
-            try:
-                # self-limiting (timeout -s INT): if THIS process dies via
-                # the deadline watchdog's os._exit, an orphaned nudge must
-                # not sit in the device-claim queue blocking the next TPU
-                # process indefinitely (observed r5: a 14-min orphan);
-                # SIGINT lets python exit gracefully, not another
-                # ungraceful kill that would re-wedge the tunnel
-                p = subprocess.Popen(
-                    ["timeout", "-s", "INT", "400",
-                     sys.executable, "-c",
-                     "import jax, jax.numpy as jnp, numpy;"
-                     "numpy.asarray(jnp.ones(()))"],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-                inflight["proc"] = p
-                try:
-                    p.wait(timeout=420)
-                except subprocess.TimeoutExpired:
-                    p.kill()
-                    p.wait(timeout=30)
-                    print("# nudge timed out after 420s and was killed "
-                          "mid-dispatch — this is itself an ungraceful "
-                          "TPU-process kill and may re-wedge the next "
-                          "dispatch", file=sys.stderr)
-            except Exception as e:
-                print(f"# nudge subprocess failed: "
-                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
-            finally:
-                inflight["proc"] = None
-
-    t = threading.Thread(target=watchdog, daemon=True)
-    t.start()
-
-    def disarm():
-        done.set()
-        # don't orphan an in-flight nudge: it completes in seconds once
-        # the tunnel works (and it does — disarm means our own first
-        # dispatch just finished); bounded so disarm can't hang bench
-        t.join(60.0)
-
-    disarm.thread = t
-    return disarm
+    """Arm the wedged-first-dispatch watchdog (the canonical
+    implementation + rationale live in ideepcolor_tpu/utils/unwedge.py;
+    the training/eval CLIs arm the same guard)."""
+    from ideepcolor_tpu.utils.unwedge import guard
+    return guard(stall_s=stall_s)
 
 
 def measure_baseline_torch_cpu() -> float:

@@ -1,0 +1,87 @@
+"""Self-recovery for the wedged-first-dispatch failure mode.
+
+On a tunnel-attached device, a freshly started process's FIRST dispatch
+can wedge indefinitely (sleeping, ~0 CPU) while the device server works
+through the previous holder's claim — measured r5: 8 s best case,
+100-370 s after heavy or ungracefully-killed holders, and occasionally
+stuck until a second tiny jax process (a "nudge") joins the claim queue,
+which reliably un-sticks it (observed across bench, serve and train
+runs; see CLAUDE.md).
+
+``guard()`` arms a watchdog thread around the first device touch: if it
+hasn't been disarmed within ``stall_s``, fire a nudge subprocess (up to
+``attempts`` times). Nudges are SIGINT-self-limited via ``timeout`` so
+an orphaned nudge (e.g. the caller hard-exited) drains from the claim
+queue gracefully instead of blocking the next TPU process.
+
+Used by bench.py and the training/eval CLIs; serving boots instead rely
+on accept-early 503s plus ready_probe's stage decomposition (a nudge
+from inside the serving process would race its own warmup).
+"""
+
+import subprocess
+import sys
+import threading
+
+
+def guard(stall_s: float = 120.0, attempts: int = 5,
+          label: str = "first dispatch"):
+    """Arm the watchdog. Returns a ``disarm()`` callable to invoke once
+    the first dispatch+readback completes; ``disarm.thread`` exposes the
+    watchdog thread so tests can join it before asserting call counts.
+
+    The default 2-minute stall avoids spurious nudges on a merely-cold
+    compile cache (a cold first compile is ~20-40 s); unattended runs
+    with tight budgets pass a smaller ``stall_s``.
+    """
+    done = threading.Event()
+    inflight = {"proc": None}
+
+    def watchdog():
+        for attempt in range(1, attempts + 1):
+            if done.wait(stall_s):
+                return
+            print(f"# {label} stalled >{stall_s:.0f}s (wedged "
+                  f"tunnel, or an unusually slow cold start); "
+                  f"nudge attempt {attempt}/{attempts}", file=sys.stderr)
+            try:
+                # self-limiting (timeout -s INT): an orphaned nudge must
+                # not sit in the device-claim queue blocking the next
+                # TPU process (observed r5: a 14-minute orphan); SIGINT
+                # lets python exit gracefully rather than re-wedging the
+                # tunnel with another ungraceful kill
+                p = subprocess.Popen(
+                    ["timeout", "-s", "INT", "400",
+                     sys.executable, "-c",
+                     "import jax, jax.numpy as jnp, numpy;"
+                     "numpy.asarray(jnp.ones(()))"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                inflight["proc"] = p
+                try:
+                    p.wait(timeout=420)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.wait(timeout=30)
+                    print("# nudge timed out after 420s and was killed "
+                          "mid-dispatch — this is itself an ungraceful "
+                          "TPU-process kill and may re-wedge the next "
+                          "dispatch", file=sys.stderr)
+            except Exception as e:
+                print(f"# nudge subprocess failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}",
+                      file=sys.stderr)
+            finally:
+                inflight["proc"] = None
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+
+    def disarm():
+        done.set()
+        # don't orphan an in-flight nudge: it completes in seconds once
+        # the tunnel works (disarm means our own dispatch just finished);
+        # bounded so disarm can't hang the caller
+        t.join(60.0)
+
+    disarm.thread = t
+    return disarm

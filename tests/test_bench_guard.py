@@ -100,3 +100,22 @@ def test_nudge_failure_is_one_clean_line(monkeypatch, capsys):
     err = capsys.readouterr().err
     assert "nudge subprocess failed" in err
     assert "Traceback" not in err
+
+
+def test_utils_unwedge_guard_label_and_attempts(monkeypatch, capsys):
+    """The shared guard (utils/unwedge.py — also armed by the train/eval
+    CLIs) honors label + attempts and fires the same self-limited nudge."""
+    from ideepcolor_tpu.utils import unwedge
+    calls = []
+    monkeypatch.setattr(
+        subprocess, "Popen",
+        lambda *a, **k: calls.append((a, k)) or _FakeProc())
+    disarm = unwedge.guard(stall_s=0.05, attempts=2, label="train boot")
+    deadline = time.time() + 5.0
+    while len(calls) < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    disarm()
+    disarm.thread.join(5.0)
+    assert len(calls) == 2          # attempts honored, then thread ends
+    assert calls[0][0][0][:3] == ["timeout", "-s", "INT"]
+    assert "train boot stalled" in capsys.readouterr().err
