@@ -62,7 +62,7 @@ def _budget_secs() -> float:
     # deadline - EMIT_RESERVE_S, and the extra minute over r4's 12 lets
     # the 14-family coverage pass absorb a slow device-claim handover
     # without losing tail configs
-    dflt = "86400" if _full_mode() else "780"
+    dflt = "86400" if _full_mode() else "810"
     return float(os.environ.get("IDEEPCOLOR_BENCH_BUDGET_S", dflt))
 
 
@@ -579,11 +579,16 @@ def bench_trained_quality(extras):
     # color at the click (deltaE, lower=better adherence), even a
     # counterfactual one (rot 180), and how far does one click reach
     from ideepcolor_tpu.apps.eval import hint_fidelity
+    # QUICK keeps the load-bearing 1-hint adherence + counterfactual +
+    # radius; the 5-hint sweep is depth (r5b: quality ran 133 s vs a
+    # 70 s estimate — the fidelity sweeps are the elastic part)
     fid = hint_fidelity(tp, images, batch=len(images),
-                        counts=(1, 5), rotations=(0.0, 180.0))
+                        counts=(1,) if QUICK else (1, 5),
+                        rotations=(0.0, 180.0))
     extras["hint_deltaE_1"] = fid["deltaE_h1_rot0"]
     extras["hint_deltaE_1_nohint"] = fid["deltaE_h1_rot0_nohint"]
-    extras["hint_deltaE_5"] = fid["deltaE_h5_rot0"]
+    if "deltaE_h5_rot0" in fid:
+        extras["hint_deltaE_5"] = fid["deltaE_h5_rot0"]
     extras["hint_deltaE_counterfactual_1"] = fid["deltaE_h1_rot180"]
     extras["hint_deltaE_counterfactual_1_nohint"] = \
         fid["deltaE_h1_rot180_nohint"]
@@ -960,7 +965,7 @@ def bench_recycle_soak(extras):
     TPU process at a time, CLAUDE.md). Default duration is budget-scaled
     (90 s; the full 600 s behind IDEEPCOLOR_BENCH_FULL=1)."""
     secs = float(os.environ.get("IDEEPCOLOR_RECYCLE_SOAK_SECS",
-                                "600" if _full_mode() else "90"))
+                                "600" if _full_mode() else "75"))
     # the soak runs first: reserve the bulk of the budget for everything
     # after it (headline clicks + the other configs ~ 7 min warm)
     secs = min(secs, max(_remaining() - 480.0, 0.0))
@@ -1017,13 +1022,22 @@ def bench_recycle_soak(extras):
 
     try:
         t0 = time.time()
-        # bounded both absolutely and by the budget: a wedged server start
-        # must not eat the window reserved for the headline configs
-        while ("port" not in box and time.time() - t0 < 900
-               and _remaining() > 480.0):
-            if proc.poll() is not None:
-                raise RuntimeError("soak server died during startup")
-            time.sleep(1)
+        # the server's own first dispatch can wedge in the device-claim
+        # queue like any fresh process (it deliberately doesn't arm the
+        # nudge itself — see utils/unwedge.py); nudge it from out here
+        # (the r5 pre-nudge run lost the whole soak to a 245 s boot wedge)
+        from ideepcolor_tpu.utils.unwedge import guard as _unwedge
+        _disarm = _unwedge(stall_s=100.0, label="soak server boot")
+        try:
+            # bounded both absolutely and by the budget: a wedged server
+            # start must not eat the window reserved for the headline
+            while ("port" not in box and time.time() - t0 < 900
+                   and _remaining() > 480.0):
+                if proc.poll() is not None:
+                    raise RuntimeError("soak server died during startup")
+                time.sleep(1)
+        finally:
+            _disarm()     # stray nudges must not contend with later configs
         if "port" not in box:
             raise RuntimeError("soak server startup timed out")
         port = box["port"]
@@ -1354,11 +1368,16 @@ def main():
         # p50 if the table path failed mid-run, else report the failure
         extras["headline_error"] = str(e)[:160]
     stage["bench_click_latency"] = round(time.perf_counter() - t0, 1)
+    # order = coverage insurance: the cheap families with no other
+    # number run FIRST; the expensive dist-click program set (~100 s of
+    # compile-cache loads on a slow tunnel) and the soaks run last, so a
+    # day of bad claim-handover luck costs depth, not whole families
+    # (the r5 pre-reorder run lost 9 families behind dist-click + soak)
     run_configs(
-        (bench_throughput, bench_drag_pipeline, bench_dist_fused_click,
-         bench_trained_quality, bench_http_serving, bench_batched_serving,
-         bench_student, bench_global_hints, bench_batch_fullres,
-         bench_streaming, bench_backpressure, bench_serve_soak,
+        (bench_throughput, bench_drag_pipeline, bench_trained_quality,
+         bench_http_serving, bench_batched_serving, bench_student,
+         bench_global_hints, bench_batch_fullres, bench_streaming,
+         bench_backpressure, bench_dist_fused_click, bench_serve_soak,
          bench_soak_cpu_control),
         state, needs_cm=(bench_throughput, bench_drag_pipeline))
     # DEEPEN pass: every family has a number now; spend what's left
