@@ -242,6 +242,36 @@ def bench_click_latency(extras, cm=None):
     extras["headline_reps"] = int(len(blat))
     extras["p95_ms"] = round(float(blat[min(int(len(blat) * .95),
                                             len(blat) - 1)]), 2)
+
+    # the OPT-IN abq transport modes (api.colorize.net_click_mode:
+    # u8-quantized-ab readback + native host compose; measured a wash on
+    # this 1-core rig — kept measured per run so the trade is visible
+    # per deployment), plus the frame delta they carry
+    rgb_frame8 = np.asarray(cm.net_forward_table(boxes, vals, 8))
+    abq_frame8 = cm.net_forward_table_abq(boxes, vals, 8)   # warm+compile
+    d8 = np.abs(abq_frame8.astype(int) - rgb_frame8.astype(int))
+    extras["abq_max_lsb"] = int(d8.max())
+    mse8 = float(np.mean(d8.astype(np.float64) ** 2))
+    extras["abq_vs_rgb_psnr_db"] = round(
+        20 * np.log10(255.0 / np.sqrt(max(mse8, 1e-9))), 1)
+
+    def abq_loop(n, half=False):
+        lat_ = []
+        for i in range(n):
+            k = 2 + (i % (MAX_HINTS - 2))
+            boxes[k] = [40 + (i % 8) * 20, 60, 44 + (i % 8) * 20, 64]
+            vals[k] = [((i * 7) % 100) - 50, ((i * 13) % 100) - 50]
+            t0 = time.perf_counter()
+            cm.net_forward_table_abq(boxes, vals, k + 1, half=half)
+            lat_.append(time.perf_counter() - t0)
+        return np.sort(lat_) * 1000.0
+
+    alat = abq_loop(_q(20, 8))
+    extras["abq_click_p50_ms"] = round(float(alat[len(alat) // 2]), 2)
+    cm.net_forward_table_abq(boxes, vals, 8, half=True)     # compile
+    hlat = abq_loop(_q(20, 8), half=True)
+    extras["abq_half_click_p50_ms"] = round(
+        float(hlat[len(hlat) // 2]), 2)
     # the GUI-default WINDOW click on the HEADLINE backend + precision
     # (SIGGRAPH, bf16): net-res table click + host window compose — the
     # apples-to-apples "what a GUI user feels" number next to the
@@ -1262,7 +1292,8 @@ def _build_full(state):
     return {
         "metric": "p50 click-to-frame latency @256 local-hints (SIGGRAPH "
                   "fwd + frame compose + readback; product-default bf16 "
-                  "serving mode, f32 parity path in f32_table_click_*)",
+                  "serving mode, f32 parity path in f32_table_click_*, "
+                  "opt-in abq transport modes in abq_*)",
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2) if p50 > 0 else -1.0,
@@ -1400,7 +1431,8 @@ def main():
 # priority order (later ones are dropped first if the line outgrows the
 # byte budget). Everything else lives in BENCH_FULL.json.
 HEADLINE_KEYS = (
-    "p95_ms", "rpc_floor_p50_ms", "compile_first_forward_s",
+    "p95_ms", "abq_click_p50_ms", "abq_half_click_p50_ms",
+    "rpc_floor_p50_ms", "compile_first_forward_s",
     "dist_click_fused_p50_ms", "win_click_host_siggraph_p50_ms",
     "win_click_host_p50_ms",
     "drag_pipeline_events_per_sec",

@@ -77,6 +77,60 @@ def compose_window_host(net_rgb_u8, l_win_pad, rh, rw) -> np.ndarray:
         np.asarray(l_win_pad, np.float32)[..., 0], a, b)
 
 
+def net_click_mode() -> str:
+    """Net-click transport mode (IDEEPCOLOR_NET_CLICK).
+
+    ``rgb`` (default): device-composed frame readback — the bit-parity
+    path the golden tests pin. ``abq``: the device returns u8-quantized
+    ab (2/3 of the RGB bytes; ≤2 LSB / ~56 dB vs the device compose on
+    trained weights) and the frame composes on host. ``abq_half``
+    additionally 2x-chroma-subsamples the payload (1/6 of the bytes,
+    ~52 dB).
+
+    abq is OPT-IN, not the default, because it was measured a WASH on
+    this rig: the ~5 ms transport saving (196→131 KB at ~12 MB/s) is
+    offset by ~5 ms of single-core host compose+extract (r5 on-chip:
+    rgb 37.4 ms p50, abq 39.6, abq_half 36.7). It exists for
+    deployments where the trade differs — multi-core serving hosts
+    (compose parallelizes; the extract can run off the latency path) or
+    links below ~5 MB/s where the byte saving dominates.
+    """
+    import os
+    mode = os.environ.get("IDEEPCOLOR_NET_CLICK", "rgb")
+    return mode if mode in ("abq", "abq_half", "rgb") else "rgb"
+
+
+_ABQ_ZOOM_CACHE: dict = {}
+
+
+def compose_net_abq_host(l_net_hw, abq, half=False) -> np.ndarray:
+    """Net-res display frame composed ON HOST from the quantized-ab
+    click payload (engine/pipeline make_table_click_abq_program).
+
+    Dequantizes the u8 ab planes, cubic-upsamples them 2x when the
+    payload was chroma-subsampled (half=True; native banded zoom), and
+    runs the native LUT Lab->RGB — the same host twins the window
+    compose uses. l_net_hw: (S,S) float L plane (the host mirror the
+    API already holds); abq: (S,S,2) or (S/2,S/2,2) uint8.
+    """
+    from ..engine.pipeline import AB_CLIP, AB_Q_SCALE
+    from ..ops import host
+    a = abq[..., 0].astype(np.float32) * (1.0 / AB_Q_SCALE) - AB_CLIP
+    b = abq[..., 1].astype(np.float32) * (1.0 / AB_Q_SCALE) - AB_CLIP
+    if half:
+        from ..ops.resize import cubic_resize_matrix_np
+        src, dst = abq.shape[0], l_net_hw.shape[0]
+        key = (src, dst)
+        mats = _ABQ_ZOOM_CACHE.get(key)
+        if mats is None:
+            if len(_ABQ_ZOOM_CACHE) >= 8:     # bounded (serve-long-lived)
+                _ABQ_ZOOM_CACHE.pop(next(iter(_ABQ_ZOOM_CACHE)))
+            m = cubic_resize_matrix_np(src, dst, dst)
+            mats = _ABQ_ZOOM_CACHE[key] = (m, m.copy())
+        a, b = host.zoom2_matrices(a, b, mats[0], mats[1])
+    return host.lab2rgb_u8_planar(np.asarray(l_net_hw, np.float32), a, b)
+
+
 def _to_float01(img) -> np.ndarray:
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[-1] != 3:
@@ -318,6 +372,41 @@ class ColorizeImageBase:
         self._set_out_ab_()
         return self.output_rgb
 
+    def net_forward_table_abq(self, boxes, values, count, half=False):
+        """Transport-lean table click: the device returns ONLY the
+        u8-quantized ab prediction ((S,S,2), 2/3 of the RGB frame's
+        bytes; (S/2,S/2,2) = 1/6 with half=True chroma subsampling) and
+        the frame composes ON HOST via the native LUT from the L plane
+        the host already holds (compose_net_abq_host). The frame differs
+        from the device compose by the ab quantization step (~1 uint8
+        LSB; half mode adds chroma smoothing) — bench records the exact
+        per-run delta as abq_frame_*. Requantized output_ab derives
+        natively from the composed frame; its device mirror uploads
+        lazily only if a full-res consumer reads it.
+        """
+        if not self.img_l_set or not self.net_set:
+            return -1
+        click = getattr(self, "_click_tbl_abq_half" if half
+                        else "_click_tbl_abq", None)
+        if click is None:
+            return -1
+        from ..ops import host
+        ab_np, mask_np = host.rasterize_hints(
+            np.asarray(boxes), np.asarray(values), int(count), self.Xd)
+        if ColorizeImageBase.net_forward(
+                self, ab_np.transpose(2, 0, 1),
+                mask_np.transpose(2, 0, 1)) == -1:
+            return -1
+        abq = np.asarray(click(self._dev_l_mc, self.params,
+                               jnp.asarray(boxes, jnp.int32),
+                               jnp.asarray(values, jnp.float32),
+                               jnp.int32(count)))
+        rgb = compose_net_abq_host(self.img_l[0], abq, half=half)
+        self.output_rgb = rgb
+        a, b = host.rgb2lab_u8_ab(rgb)
+        self._set_out_ab_host_(a, b)
+        return self.output_rgb
+
     def net_forward_table_win(self, boxes, values, count,
                               l_win_pad, rh, rw):
         """Table click that also returns the window-size display frame in
@@ -414,12 +503,30 @@ class ColorizeImageBase:
         Transport-shaped twin of :meth:`net_forward_table_win`: over the
         tunneled chip, readback bandwidth (~7-14 MB/s) dominates the
         click, and the 512-px window frame costs ~4x the net-res frame's
-        bytes. Reads back ONLY the net frame (~196 KB), then the host
-        runtime (ops.host native lib) reproduces the exact device chain
+        bytes. In the default ``abq`` click mode (net_click_mode) the
+        readback shrinks further to the u8-quantized ab payload (2/3 of
+        the RGB frame's bytes) and BOTH frames compose on host; in
+        ``rgb`` mode it reads the device-composed net frame (~196 KB,
+        the bit-parity path) and reproduces the device window chain
         (requantized-uint8 ab -> data-matrix zoom -> truncating lab2rgb,
         the reference's own host compose, ref ui/gui_draw.py:280-284).
         All args are HOST arrays here. Returns the padded window frame.
         """
+        mode = net_click_mode()
+        if mode != "rgb" and getattr(self, "_click_tbl_abq", None) \
+                is not None:
+            out = self.net_forward_table_abq(boxes, values, count,
+                                             half=(mode == "abq_half"))
+            if isinstance(out, int):
+                return -1
+            from ..ops import host
+            # the window composes from the SAME requantized-ab planes
+            # the net frame produced (extracted natively in the abq
+            # path) — identical to compose_window_host's own extraction
+            a, b = self._out_ab_np
+            aw, bw = host.zoom2_matrices(a, b, rh_np, rw_np)
+            return host.lab2rgb_u8_planar(
+                np.asarray(l_win_pad_np, np.float32)[..., 0], aw, bw)
         out = self.net_forward_table(boxes, values, count)
         if isinstance(out, int):
             return -1
@@ -714,6 +821,24 @@ class ColorizeImageBase:
     def img_ab_mc(self):
         return self.img_lab_mc[[1, 2]]
 
+    # _dev_output_ab is a property so the HOST-composed click path
+    # (net_forward_table_abq) can park its requantized ab as a numpy
+    # plane and pay the ~512 KB device upload only if a full-res
+    # consumer actually reads the device mirror
+    @property
+    def _dev_output_ab(self):
+        val = getattr(self, "_dev_out_ab_val", None)
+        if val is None:
+            pend = getattr(self, "_out_ab_host_pending", None)
+            if pend is not None:
+                val = self._dev_out_ab_val = jnp.asarray(pend)
+        return val
+
+    @_dev_output_ab.setter
+    def _dev_output_ab(self, v):
+        self._dev_out_ab_val = v
+        self._out_ab_host_pending = None
+
     def _set_out_ab_(self):
         # parity with ref colorize_image.py:196-198: output_ab is re-derived
         # from the QUANTIZED uint8 output image, not the raw prediction
@@ -721,10 +846,19 @@ class ColorizeImageBase:
         # materialize lazily to avoid extra tunnel readbacks).
         self._out_ab_np = None
         self._out_lab_np = None
-        if getattr(self, "_dev_output_ab", None) is None:
+        if self._dev_output_ab is None:
             self._dev_output_ab = jnp.asarray(
                 rgb2lab_transpose(self.output_rgb)[1:]
                 .transpose(1, 2, 0).astype(np.float32))
+
+    def _set_out_ab_host_(self, a, b):
+        """Host twin of _set_out_ab_ for the abq click: requantized ab
+        comes from the native LUT over the host-composed frame; the
+        device mirror uploads lazily (see _dev_output_ab)."""
+        self._out_lab_np = None
+        self._out_ab_np = np.stack([a, b])
+        self._dev_out_ab_val = None
+        self._out_ab_host_pending = np.stack([a, b], -1)
 
     @property
     def output_ab(self):
@@ -788,6 +922,10 @@ class ColorizeImageJax(ColorizeImageBase):
             self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
             self._click_tbl_win = P.make_table_click_win_program(
                 fwd_tbl, self.Xd)
+            self._click_tbl_abq = P.make_table_click_abq_program(
+                fwd_tbl, self.Xd)
+            self._click_tbl_abq_half = P.make_table_click_abq_program(
+                fwd_tbl, self.Xd, half=True)
         self.net_set = True
 
     def net_forward(self, input_ab, input_mask):
@@ -1096,6 +1234,10 @@ class ColorizeImageJaxCaffe(ColorizeImageBase):
         self._click_tbl = P.make_table_click_program(fwd_tbl, self.Xd)
         self._click_tbl_win = P.make_table_click_win_program(
             fwd_tbl, self.Xd)
+        self._click_tbl_abq = P.make_table_click_abq_program(
+            fwd_tbl, self.Xd)
+        self._click_tbl_abq_half = P.make_table_click_abq_program(
+            fwd_tbl, self.Xd, half=True)
 
     def net_forward(self, input_ab, input_mask):
         if super().net_forward(input_ab, input_mask) == -1:

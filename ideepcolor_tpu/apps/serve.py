@@ -641,7 +641,19 @@ class ColorizeService:
             # between a pre-lock check and here must be a clean 404
             m = self._lookup_session(sid)
             if table is not None:
-                result = m.net_forward_table(*table)
+                # IDEEPCOLOR_NET_CLICK=abq[_half] opts into the u8-ab
+                # payload + host compose (api.colorize.net_click_mode —
+                # measured a wash on the 1-core tunnel rig, a win on
+                # multi-core or <5 MB/s links). Backends without the abq
+                # program (dist) return -1 and fall back to rgb.
+                from ..api.colorize import net_click_mode
+                mode = net_click_mode()
+                result = -1
+                if mode != "rgb":
+                    result = m.net_forward_table_abq(
+                        *table, half=(mode == "abq_half"))
+                if isinstance(result, int):
+                    result = m.net_forward_table(*table)
             else:                       # >MAX_HINTS: dense fallback
                 ab = np.zeros((2, self.size, self.size), np.float32)
                 mask = np.zeros((1, self.size, self.size), np.float32)

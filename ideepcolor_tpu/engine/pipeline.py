@@ -164,6 +164,52 @@ def requantized_ab(rgb_u8: jax.Array) -> jax.Array:
     return cs.rgb_to_lab(rgb_u8.astype(jnp.float32) / 255.0)[..., 1:]
 
 
+# ab quantization for the transport-lean click payload: u8 over
+# [-110, 110] (the reference's ab clamp) = 0.863 ab units/step — finer
+# than the granularity the uint8 RGB frame itself imposes on requantized
+# ab, so the host-composed frame differs from the device compose by at
+# most ~1 uint8 LSB per channel
+AB_CLIP = 110.0
+AB_Q_SCALE = 255.0 / 220.0
+
+
+@jax.jit
+def quantize_ab_u8(ab: jax.Array) -> jax.Array:
+    return jnp.round((jnp.clip(ab, -AB_CLIP, AB_CLIP) + AB_CLIP)
+                     * AB_Q_SCALE).astype(jnp.uint8)
+
+
+def make_table_click_abq_program(apply_fn, size: int, half: bool = False):
+    """Table click returning ONLY the u8-quantized ab prediction — the
+    transport-lean click for tunnel-attached devices.
+
+    The (S,S,2) u8 payload is 2/3 of the u8 RGB frame's bytes (1/6 with
+    ``half=True`` chroma subsampling, video 4:2:0 style); the display
+    frame composes ON HOST from the L plane the host already has
+    (api.colorize.compose_net_abq_host — the native-LUT / banded-zoom
+    twins of this device chain). Measured r5 over the tunnel: payload
+    p50 39.4 ms (u8 RGB) -> 34.2 (u8 ab) -> 27.2 (u8 ab half) against a
+    25.1 ms 8-byte RPC floor.
+    """
+    from ..ops.hints import rasterize_hints
+
+    @jax.jit
+    def click(l_mc, params, boxes, values, count):
+        ab, mask = rasterize_hints(boxes, values, count, size=size)
+        pred = apply_fn(params, l_mc, ab[None], mask[None])[0]
+        if half:
+            # phase-correct 2x2 average (cv2 INTER_AREA): the averaged
+            # pixel's center sits at (2i+0.5), exactly where the host's
+            # half-pixel-center cubic up-matrix expects it — a strided
+            # [::2] subsample instead shifts the field by half a source
+            # pixel and doubles the roundtrip error
+            s = size // 2
+            pred = pred.reshape(s, 2, s, 2, 2).mean(axis=(1, 3))
+        return quantize_ab_u8(pred)
+
+    return click
+
+
 def make_table_click_program(apply_fn, size: int):
     """Fused click program fed by the fixed-slot hint table.
 

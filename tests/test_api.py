@@ -643,3 +643,109 @@ def test_table_suggest_host_matches_win_suggest():
     # same rng key + same device chain; the host variant's palette rides
     # the packed frame row as uint8, so rows agree to the 1/255 step
     assert np.allclose(colors_host, colors_dev, atol=1.01 / 255)
+
+
+# ---- abq transport click (r5): u8-ab payload + host compose ----
+
+def _abq_cm(Xd=64):
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    m = api.ColorizeImageJax(Xd=Xd)
+    m.prep_net(path='')
+    rng = np.random.default_rng(11)
+    m.set_image((rng.random((Xd, Xd, 3)) * 255).astype(np.uint8))
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+    boxes[0] = [10, 10, 14, 14]
+    vals[0] = [30.0, -40.0]
+    return m, boxes, vals
+
+
+def test_table_click_abq_matches_device_frame():
+    """Full-res abq: the host-composed frame differs from the device
+    compose only by the ab quantization step (<= a few uint8 LSB even
+    under random weights), and output_ab stays the requantized-from-
+    frame quirk."""
+    m, boxes, vals = _abq_cm()
+    dev = m.net_forward_table(boxes, vals, 1)
+    dev_ab = m.output_ab.copy()
+    out = m.net_forward_table_abq(boxes, vals, 1)
+    assert out.shape == dev.shape and out.dtype == np.uint8
+    d = np.abs(dev.astype(int) - out.astype(int))
+    assert d.max() <= 4, d.max()
+    mse = float(np.mean(d.astype(np.float64) ** 2))
+    assert 20 * np.log10(255 / np.sqrt(max(mse, 1e-9))) > 45
+    # requantized output_ab: derived from the (host) frame, so it stays
+    # within the uint8-requantization granularity of the device path's
+    assert np.abs(m.output_ab - dev_ab).max() < 2.5
+    # the lazy device mirror feeds full-res fusion without error
+    full_abq = m.get_img_fullres()
+    m.net_forward_table(boxes, vals, 1)
+    full_dev = m.get_img_fullres()
+    assert np.abs(full_abq.astype(int) - full_dev.astype(int)).max() <= 6
+
+
+def test_table_click_abq_half_mechanics_and_smooth_roundtrip():
+    """half=True returns a frame at NET res composed from the 2x
+    chroma-subsampled payload. Random-weight predictions are
+    high-frequency (worst case), so numeric quality is asserted on the
+    compose helper with a smooth field instead — the real-weights delta
+    is recorded per bench run (abq_half_*)."""
+    m, boxes, vals = _abq_cm()
+    out = m.net_forward_table_abq(boxes, vals, 1, half=True)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    out2 = m.net_forward_table_abq(boxes, vals, 1, half=True)
+    assert np.array_equal(out, out2)          # deterministic
+
+    from ideepcolor_tpu.api.colorize import compose_net_abq_host
+    from ideepcolor_tpu.engine.pipeline import AB_CLIP, AB_Q_SCALE
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    a = 40 * np.sin(yy / 17.0)                # smooth chroma field
+    b = 30 * np.cos(xx / 13.0)
+    l = np.full((64, 64), 60.0, np.float32)
+
+    def q(x):
+        return np.round((np.clip(x, -AB_CLIP, AB_CLIP) + AB_CLIP)
+                        * AB_Q_SCALE).astype(np.uint8)
+
+    full = compose_net_abq_host(l, np.stack([q(a), q(b)], -1))
+    ah = a.reshape(32, 2, 32, 2).mean((1, 3))
+    bh = b.reshape(32, 2, 32, 2).mean((1, 3))
+    half = compose_net_abq_host(l, np.stack([q(ah), q(bh)], -1),
+                                half=True)
+    d = np.abs(full.astype(int) - half.astype(int))
+    mse = float(np.mean(d.astype(np.float64) ** 2))
+    assert 20 * np.log10(255 / np.sqrt(max(mse, 1e-9))) > 40, d.max()
+
+
+def test_win_host_click_modes_agree(monkeypatch):
+    """The win-host click's default abq branch must track the rgb-mode
+    window within the quantization tolerance, and IDEEPCOLOR_NET_CLICK=
+    rgb must restore the exact legacy path."""
+    from ideepcolor_tpu.api.colorize import compose_window_host
+    from ideepcolor_tpu.ops.resize import cubic_resize_matrix_np
+    m, boxes, vals = _abq_cm()
+    hb = wb = 128
+    l_pad = np.zeros((hb, wb, 1), np.float32)
+    l_pad[:100, :120, 0] = 55.0
+    rh = cubic_resize_matrix_np(64, 100, hb)
+    rw = cubic_resize_matrix_np(64, 120, wb)
+
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "rgb")
+    win_rgb = m.net_forward_table_win_host(boxes, vals, 1, l_pad, rh, rw)
+    ref = compose_window_host(m.net_forward_table(boxes, vals, 1),
+                              l_pad, rh, rw)
+    assert np.array_equal(win_rgb, ref)       # exact legacy path
+
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "abq")
+    win_abq = m.net_forward_table_win_host(boxes, vals, 1, l_pad, rh, rw)
+    assert win_abq.shape == win_rgb.shape
+    d = np.abs(win_abq.astype(int) - win_rgb.astype(int))
+    assert d.max() <= 8, d.max()              # zoomed quantization step
+
+
+def test_abq_sentinels():
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    m = api.ColorizeImageJax(Xd=64)
+    assert m.net_forward_table_abq(
+        np.zeros((MAX_HINTS, 4), np.int32),
+        np.zeros((MAX_HINTS, 2), np.float32), 0) == -1   # no net/img

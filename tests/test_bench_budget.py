@@ -71,10 +71,11 @@ def test_soaks_skip_on_spent_budget(monkeypatch):
 
 
 def test_default_budget_fits_driver_window():
-    # the driver killed r3 at ~16 min; default budget + emit reserve must
-    # stay comfortably under (r5: 13 min, giving the 14-family coverage
-    # pass headroom against slow device-claim handovers)
-    assert bench._budget_secs() + bench.EMIT_RESERVE_S <= 14 * 60
+    # the driver killed r3 at ~16 min; the watchdog emits by
+    # DEADLINE - EMIT_RESERVE_S and the process exits right after, so
+    # the budget itself is the wall-clock bound (r5: 13.5 min, giving
+    # the 14-family coverage pass headroom against slow claim handovers)
+    assert bench._budget_secs() <= 14 * 60
 
 
 def test_full_mode_restores_long_soaks(monkeypatch):

@@ -16,6 +16,17 @@ import _fake_qt
 
 IMG = "/root/reference/test_imgs/mortar_pestle.jpg"
 
+
+@pytest.fixture(autouse=True)
+def _device_compose_mode(monkeypatch):
+    """This module pins BYTE-identical cross-path invariants (fused vs
+    unfused programs, click vs dense replay) that are defined on the
+    device compose chain; pin the rgb click mode so an abq override in
+    the environment can't blur them (the opt-in abq modes compose on
+    host within ~2 LSB). Mode equivalence itself is covered by
+    test_api.test_win_host_click_modes_agree."""
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "rgb")
+
 pytestmark = pytest.mark.skipif(not os.path.exists(IMG),
                                 reason="test image unavailable")
 
