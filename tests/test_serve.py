@@ -995,3 +995,32 @@ def test_client_disconnect_notice_silent_under_pytest(server_obj, capsys,
     provoke()                                   # ops mode: one clean line
     err = capsys.readouterr().err
     assert err.count("disconnected") == 1 and "Traceback" not in err
+
+
+def test_session_click_abq_mode_close_to_rgb(monkeypatch):
+    """IDEEPCOLOR_NET_CLICK=abq routes session clicks through the u8-ab
+    payload + host compose and stays within the quantization tolerance
+    of the rgb path; unknown modes fall back to rgb."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    svc = serve_mod.ColorizeService(size=64)
+    _img, body = _png_bytes(64, 64)
+    sid = svc.session_open(body)["id"]
+    hints = [{"y": 20, "x": 20, "ab": [30.0, -40.0], "radius": 2}]
+
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "rgb")
+    png_rgb = svc.session_click(sid, hints)
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "abq")
+    png_abq = svc.session_click(sid, hints)
+
+    import cv2
+    dec = lambda b: cv2.imdecode(  # noqa: E731
+        np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+    a, b = dec(png_rgb), dec(png_abq)
+    assert a.shape == b.shape
+    d = np.abs(a.astype(int) - b.astype(int))
+    # bf16 serving weights + ab quantization: worst pixels a few LSB
+    assert d.max() <= 12, d.max()
+    assert d.mean() < 1.0, d.mean()
+
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "bogus")   # -> rgb
+    assert svc.session_click(sid, hints) == png_rgb
