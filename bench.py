@@ -58,10 +58,10 @@ def _full_mode() -> bool:
 
 
 def _budget_secs() -> float:
-    # 780 s = 13 min: the driver kills at ~16 min, the watchdog emits at
-    # deadline - EMIT_RESERVE_S, and the extra minute over r4's 12 lets
-    # the 14-family coverage pass absorb a slow device-claim handover
-    # without losing tail configs
+    # 810 s = 13.5 min: the driver kills at ~16 min, the watchdog emits
+    # by deadline - EMIT_RESERVE_S, and the headroom over r4's 12 min
+    # lets the 14-family coverage pass absorb a slow device-claim
+    # handover without losing tail configs
     dflt = "86400" if _full_mode() else "810"
     return float(os.environ.get("IDEEPCOLOR_BENCH_BUDGET_S", dflt))
 
@@ -851,7 +851,8 @@ def bench_serve_soak(extras):
     records aggregate p99, per-class p50s, 5xx count and host RSS growth
     (load-skew hardening evidence — sessions ride the small-upload table
     path, so RSS must stay bounded on this leaky transport).
-    Duration via IDEEPCOLOR_SOAK_SECS (default 60; 120 in full mode)."""
+    Duration via IDEEPCOLOR_SOAK_SECS (coverage tier 30 s, 60 s
+    full-rep, 120 s in full mode)."""
     secs = float(os.environ.get(
         "IDEEPCOLOR_SOAK_SECS",
         "120" if _full_mode() else str(_q(60, 30))))
@@ -993,7 +994,7 @@ def bench_recycle_soak(extras):
     p99 across the recycles. Runs FIRST, before this process touches the
     device — the server subprocess owns the chip for the duration (one
     TPU process at a time, CLAUDE.md). Default duration is budget-scaled
-    (90 s; the full 600 s behind IDEEPCOLOR_BENCH_FULL=1)."""
+    (75 s; the full 600 s behind IDEEPCOLOR_BENCH_FULL=1)."""
     secs = float(os.environ.get("IDEEPCOLOR_RECYCLE_SOAK_SECS",
                                 "600" if _full_mode() else "75"))
     # the soak runs first: reserve the bulk of the budget for everything
@@ -1085,10 +1086,19 @@ def bench_recycle_soak(extras):
         # final health probe (VERDICT r4 task 4: soak10_rss_end_mb = -1
         # is no longer possible silently): prefer a steady-state reading,
         # fall back to a mid-boot one (/healthz now reports rss_mb while
-        # booting too), and if nothing answers record a LOUD probe error
+        # booting too), and if nothing answers record a LOUD probe error.
+        # BUDGET-gated: a recycle that fires near soak end can leave the
+        # next generation booting for 100-370 s (claim handover) — this
+        # wait must not starve the coverage pass the two-tier bench
+        # exists to guarantee, so it's bounded by the remaining budget
+        # (less the ~480 s the other families need) and bails if the
+        # server process died
         t1 = time.time()
+        wait_s = min(300.0, max(30.0, _remaining() - 480.0))
         h1 = None
-        while time.time() - t1 < 300:
+        while time.time() - t1 < wait_s:
+            if proc.poll() is not None:
+                break
             h = health(port)
             if h is not None:
                 h1 = h

@@ -110,8 +110,9 @@ def compose_net_abq_host(l_net_hw, abq, half=False) -> np.ndarray:
     Dequantizes the u8 ab planes, cubic-upsamples them 2x when the
     payload was chroma-subsampled (half=True; native banded zoom), and
     runs the native LUT Lab->RGB — the same host twins the window
-    compose uses. l_net_hw: (S,S) float L plane (the host mirror the
-    API already holds); abq: (S,S,2) or (S/2,S/2,2) uint8.
+    compose uses. l_net_hw: (S,S) float L plane (the API caches one
+    L-only readback per image, _host_l_net); abq: (S,S,2) or
+    (S/2,S/2,2) uint8.
     """
     from ..engine.pipeline import AB_CLIP, AB_Q_SCALE
     from ..ops import host
@@ -376,13 +377,16 @@ class ColorizeImageBase:
         """Transport-lean table click: the device returns ONLY the
         u8-quantized ab prediction ((S,S,2), 2/3 of the RGB frame's
         bytes; (S/2,S/2,2) = 1/6 with half=True chroma subsampling) and
-        the frame composes ON HOST via the native LUT from the L plane
-        the host already holds (compose_net_abq_host). The frame differs
+        the frame composes ON HOST via the native LUT (one L-plane
+        readback per image, cached — _host_l_net). The frame differs
         from the device compose by the ab quantization step (~1 uint8
         LSB; half mode adds chroma smoothing) — bench records the exact
-        per-run delta as abq_frame_*. Requantized output_ab derives
-        natively from the composed frame; its device mirror uploads
-        lazily only if a full-res consumer reads it.
+        per-run delta as abq_*. Requantized output_ab derives natively
+        from the composed frame; its device mirror uploads lazily only
+        if a full-res consumer reads it — NOTE that upload is ~S²·8
+        bytes per click on this leaky transport, so full-res-per-click
+        workloads should stay on the rgb mode (serve does this
+        automatically for fullres session clicks).
         """
         if not self.img_l_set or not self.net_set:
             return -1
@@ -401,7 +405,7 @@ class ColorizeImageBase:
                                jnp.asarray(boxes, jnp.int32),
                                jnp.asarray(values, jnp.float32),
                                jnp.int32(count)))
-        rgb = compose_net_abq_host(self.img_l[0], abq, half=half)
+        rgb = compose_net_abq_host(self._host_l_net(), abq, half=half)
         self.output_rgb = rgb
         a, b = host.rgb2lab_u8_ab(rgb)
         self._set_out_ab_host_(a, b)
@@ -503,13 +507,13 @@ class ColorizeImageBase:
         Transport-shaped twin of :meth:`net_forward_table_win`: over the
         tunneled chip, readback bandwidth (~7-14 MB/s) dominates the
         click, and the 512-px window frame costs ~4x the net-res frame's
-        bytes. In the default ``abq`` click mode (net_click_mode) the
-        readback shrinks further to the u8-quantized ab payload (2/3 of
-        the RGB frame's bytes) and BOTH frames compose on host; in
-        ``rgb`` mode it reads the device-composed net frame (~196 KB,
-        the bit-parity path) and reproduces the device window chain
+        bytes. In the DEFAULT ``rgb`` click mode (net_click_mode) it
+        reads the device-composed net frame (~196 KB, the bit-parity
+        path) and reproduces the device window chain on host
         (requantized-uint8 ab -> data-matrix zoom -> truncating lab2rgb,
-        the reference's own host compose, ref ui/gui_draw.py:280-284).
+        the reference's own host compose, ref ui/gui_draw.py:280-284);
+        in the opt-in ``abq`` modes the readback shrinks further to the
+        u8-quantized ab payload and BOTH frames compose on host.
         All args are HOST arrays here. Returns the padded window frame.
         """
         mode = net_click_mode()
@@ -777,6 +781,7 @@ class ColorizeImageBase:
         self._dev_lab_net = lab_dev                      # (Xd, Xd, 3)
         self._dev_l_net = lab_dev[..., :1]               # (Xd, Xd, 1)
         self._img_lab_np = None
+        self._host_l_net_np = None
 
     def _set_img_lab_mc_(self):
         # the forward programs only need the mean-centered L plane; it is
@@ -799,6 +804,18 @@ class ColorizeImageBase:
     @property
     def img_l(self):
         return self.img_lab[[0]]
+
+    def _host_l_net(self):
+        """(Xd, Xd) float L plane for host composes. Reads back ONLY the
+        L channel once per image (~Xd²·4 bytes; a third of the full-Lab
+        mirror img_l would materialize) and caches it for the session's
+        clicks. Reuses the full mirror if something else already paid
+        for it."""
+        if getattr(self, "_img_lab_np", None) is not None:
+            return self._img_lab_np[0]
+        if getattr(self, "_host_l_net_np", None) is None:
+            self._host_l_net_np = np.asarray(self._dev_l_net)[..., 0]
+        return self._host_l_net_np
 
     @property
     def img_ab(self):

@@ -649,7 +649,12 @@ class ColorizeService:
                 from ..api.colorize import net_click_mode
                 mode = net_click_mode()
                 result = -1
-                if mode != "rgb":
+                # fullres clicks stay on rgb even in abq mode: the
+                # full-res fusion reads the device out_ab mirror, and
+                # abq's lazy host->device re-upload (~512 KB/click)
+                # is exactly the upload-leak class the table path
+                # exists to avoid (CLAUDE.md)
+                if mode != "rgb" and not fullres:
                     result = m.net_forward_table_abq(
                         *table, half=(mode == "abq_half"))
                 if isinstance(result, int):
@@ -1124,14 +1129,21 @@ class _Handler(BaseHTTPRequestHandler):
             from .webui import PAGE
             self._reply(200, PAGE.encode(), "text/html; charset=utf-8")
         elif path == "/healthz":
-            self._reply(200, json.dumps(self.service.health()).encode(),
-                        "application/json")
+            h = self.service.health()
+            # the handle_error counter lives on the server object; it
+            # replaced the per-disconnect log line, so it must be
+            # readable somewhere or the signal is simply gone
+            h["quiet_disconnects"] = getattr(self.server,
+                                             "quiet_disconnects", 0)
+            self._reply(200, json.dumps(h).encode(), "application/json")
         elif path == "/stats":
             stats = {"requests": self.service.requests,
                      "latency": self.service.timer.summary(),
                      "lock_bulk_jumped": self.service.lock.bulk_jumped,
                      "bulk_backlog": self.service.lock.bulk_backlog(),
-                     "shed_429": self.service.shed_429}
+                     "shed_429": self.service.shed_429,
+                     "quiet_disconnects": getattr(
+                         self.server, "quiet_disconnects", 0)}
             for key, b in (("auto_batch", self.service.batcher),
                            ("auto_batch_fast",
                             self.service.batcher_fast)):
@@ -1576,10 +1588,11 @@ def main(argv=None):
     finally:
         srv.shutdown()
         srv.server_close()
-        # release the device lease gracefully so the NEXT TPU process
-        # (e.g. bench.py after its soak subprocess) doesn't inherit a
-        # wedged first dispatch (CLAUDE.md: lease recovery after an
-        # unreleased exit can take minutes)
+        # close the backend client before interpreter teardown — cheap
+        # hygiene (ordered destruction instead of whatever teardown
+        # order the runtime picks). Measured r5 (CLAUDE.md): this does
+        # NOT shorten the next process's device-claim handover; nothing
+        # client-side does.
         try:
             import jax.extend.backend
             jax.extend.backend.clear_backends()

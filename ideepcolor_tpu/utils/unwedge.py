@@ -35,7 +35,6 @@ def guard(stall_s: float = 120.0, attempts: int = 5,
     with tight budgets pass a smaller ``stall_s``.
     """
     done = threading.Event()
-    inflight = {"proc": None}
 
     def watchdog():
         for attempt in range(1, attempts + 1):
@@ -56,7 +55,6 @@ def guard(stall_s: float = 120.0, attempts: int = 5,
                      "import jax, jax.numpy as jnp, numpy;"
                      "numpy.asarray(jnp.ones(()))"],
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-                inflight["proc"] = p
                 try:
                     p.wait(timeout=420)
                 except subprocess.TimeoutExpired:
@@ -70,8 +68,6 @@ def guard(stall_s: float = 120.0, attempts: int = 5,
                 print(f"# nudge subprocess failed: "
                       f"{type(e).__name__}: {str(e)[:120]}",
                       file=sys.stderr)
-            finally:
-                inflight["proc"] = None
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
