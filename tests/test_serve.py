@@ -52,6 +52,8 @@ def test_healthz(server):
     info = json.loads(r.read())
     assert info["status"] == "ok"
     assert info["size"] == 64
+    # the silenced disconnect notices must stay observable somewhere
+    assert isinstance(info["quiet_disconnects"], int)
 
 
 def test_colorize_fullres_png(server):
