@@ -749,3 +749,25 @@ def test_abq_sentinels():
     assert m.net_forward_table_abq(
         np.zeros((MAX_HINTS, 4), np.int32),
         np.zeros((MAX_HINTS, 2), np.float32), 0) == -1   # no net/img
+
+
+def test_abq_host_l_cache_invalidates_on_new_image():
+    """The abq compose's cached L plane must follow image loads (the
+    'stale state closed over by a click path' bug class, CLAUDE.md
+    invariants): clicking after set_image must compose with the NEW
+    image's L."""
+    from ideepcolor_tpu.ops.hints import MAX_HINTS
+    m = api.ColorizeImageJax(Xd=64)
+    m.prep_net(path='')
+    boxes = np.zeros((MAX_HINTS, 4), np.int32)
+    vals = np.zeros((MAX_HINTS, 2), np.float32)
+
+    dark = np.full((64, 64, 3), 20, np.uint8)
+    light = np.full((64, 64, 3), 235, np.uint8)
+    m.set_image(dark)
+    f_dark = m.net_forward_table_abq(boxes, vals, 0).copy()
+    assert m._host_l_net().mean() < 30
+    m.set_image(light)
+    f_light = m.net_forward_table_abq(boxes, vals, 0)
+    assert m._host_l_net().mean() > 80          # cache followed the image
+    assert f_light.mean() > f_dark.mean() + 100  # frame uses the new L
