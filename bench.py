@@ -1106,8 +1106,12 @@ def bench_recycle_soak(extras):
                     break
             time.sleep(2)
         if h1 is None:
-            extras["soak10_rss_probe_error"] = \
-                "no /healthz response within 300s of soak end"
+            waited = time.time() - t1
+            extras["soak10_rss_probe_error"] = (
+                f"no /healthz response within {waited:.0f}s of soak end "
+                f"(budget-clamped wait {wait_s:.0f}s"
+                + (", server process exited)" if proc.poll() is not None
+                   else ")"))
         elif h1.get("status") == "booting":
             extras["soak10_rss_probe_note"] = \
                 "rss read mid-boot (recycled gen still booting)"

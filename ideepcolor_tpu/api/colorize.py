@@ -127,7 +127,9 @@ def compose_net_abq_host(l_net_hw, abq, half=False) -> np.ndarray:
             if len(_ABQ_ZOOM_CACHE) >= 8:     # bounded (serve-long-lived)
                 _ABQ_ZOOM_CACHE.pop(next(iter(_ABQ_ZOOM_CACHE)))
             m = cubic_resize_matrix_np(src, dst, dst)
-            mats = _ABQ_ZOOM_CACHE[key] = (m, m.copy())
+            # the zoom kernel treats both matrices read-only, so one
+            # shared array serves as both the row and column resampler
+            mats = _ABQ_ZOOM_CACHE[key] = (m, m)
         a, b = host.zoom2_matrices(a, b, mats[0], mats[1])
     return host.lab2rgb_u8_planar(np.asarray(l_net_hw, np.float32), a, b)
 

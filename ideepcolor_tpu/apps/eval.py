@@ -416,17 +416,8 @@ def main(argv=None):
     # complete the first dispatch under the nudge watchdog (see
     # utils/unwedge.py): a fresh process on the tunnel can wedge in the
     # device-claim queue for 10+ minutes before its first dispatch
-    import os
-
-    import jax.numpy as _jnp
-    import numpy as _np
-
-    from ideepcolor_tpu.utils.unwedge import guard as _unwedge
-    _disarm = _unwedge(stall_s=float(
-        os.environ.get("IDEEPCOLOR_UNWEDGE_STALL_S", "240")))
-    _np.asarray(jax.jit(lambda x: x + 1.0)(_jnp.zeros((2,),
-                                           _jnp.float32)))
-    _disarm()
+    from ideepcolor_tpu.utils.unwedge import warm_first_dispatch
+    warm_first_dispatch()
 
     from ideepcolor_tpu.api.colorize import _load_checkpoint
     from ideepcolor_tpu.models import siggraph

@@ -899,9 +899,17 @@ class ColorizeService:
         # the session click path (batch-1 table program the GET / UI
         # uses by default)
         sid = self.session_open(body)["id"]
-        self.session_click(sid, [{"y": self.size // 2,
-                                  "x": self.size // 2,
-                                  "ab": [20.0, -20.0], "radius": 2}])
+        click = [{"y": self.size // 2, "x": self.size // 2,
+                  "ab": [20.0, -20.0], "radius": 2}]
+        self.session_click(sid, click)
+        from ..api.colorize import net_click_mode
+        if net_click_mode() != "rgb":
+            # under IDEEPCOLOR_NET_CLICK=abq[_half] the click above
+            # compiled only the abq program; fullres session clicks are
+            # forced onto the batch-1 rgb table program (see
+            # session_click), so warm that too or the first
+            # /session/click?fullres=1 pays its compile mid-request
+            self.session_click(sid, click, fullres=True)
         if suggest:
             self.session_suggest(sid, [], h=self.size // 2,
                                  w=self.size // 2, k=9)
@@ -1346,6 +1354,7 @@ class _QuietDisconnectServer(ThreadingHTTPServer):
 
     request_queue_size = 128
     quiet_disconnects = 0       # per-instance after first increment
+    _qd_lock = threading.Lock()  # handle_error runs on handler threads
 
     def handle_error(self, request, client_address):
         import sys
@@ -1354,8 +1363,11 @@ class _QuietDisconnectServer(ThreadingHTTPServer):
                 et, (ConnectionResetError, BrokenPipeError, TimeoutError)):
             # routine under concurrent load; under pytest even the one
             # clean line is noise in the suite's output (VERDICT r4
-            # weak #7) — count it silently instead
-            self.quiet_disconnects += 1
+            # weak #7) — count it silently instead. Locked: += on an
+            # attribute is a racy read-modify-write across the
+            # concurrent handler threads where disconnects happen.
+            with self._qd_lock:
+                self.quiet_disconnects += 1
             if not os.environ.get("PYTEST_CURRENT_TEST"):
                 print(f"# serve: client {client_address} disconnected "
                       f"({et.__name__})", file=sys.stderr)

@@ -89,15 +89,8 @@ def main(argv=None):
     # wedge in the device-claim queue for 10+ minutes (every retrain leg
     # hit this in r5); complete it here under the nudge watchdog so the
     # run never needs a human babysitter. No-op cost on healthy backends.
-    import os
-
-    import numpy as _np
-
-    from ideepcolor_tpu.utils.unwedge import guard as _unwedge
-    _disarm = _unwedge(stall_s=float(
-        os.environ.get("IDEEPCOLOR_UNWEDGE_STALL_S", "240")))
-    _np.asarray(jax.jit(lambda x: x + 1.0)(jnp.zeros((2,), jnp.float32)))
-    _disarm()
+    from ideepcolor_tpu.utils.unwedge import warm_first_dispatch
+    warm_first_dispatch()
 
     cfg = tstep.TrainConfig(lr=args.lr, schedule=args.lr_schedule,
                             warmup_steps=args.warmup_steps,

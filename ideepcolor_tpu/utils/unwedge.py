@@ -19,6 +19,8 @@ on accept-early 503s plus ready_probe's stage decomposition (a nudge
 from inside the serving process would race its own warmup).
 """
 
+import os
+import signal
 import subprocess
 import sys
 import threading
@@ -44,26 +46,35 @@ def guard(stall_s: float = 120.0, attempts: int = 5,
                   f"tunnel, or an unusually slow cold start); "
                   f"nudge attempt {attempt}/{attempts}", file=sys.stderr)
             try:
-                # self-limiting (timeout -s INT): an orphaned nudge must
-                # not sit in the device-claim queue blocking the next
-                # TPU process (observed r5: a 14-minute orphan); SIGINT
-                # lets python exit gracefully rather than re-wedging the
-                # tunnel with another ungraceful kill
+                # self-limiting (timeout -s INT -k 20): an orphaned
+                # nudge must not sit in the device-claim queue blocking
+                # the next TPU process (observed r5: a 14-minute
+                # orphan). SIGINT at 400 s lets python exit gracefully
+                # rather than re-wedging the tunnel with another
+                # ungraceful kill; -k 20 makes `timeout` SIGKILL a
+                # nudge so wedged it can't even process the SIGINT.
+                # own session so the last-resort killpg below reaps the
+                # python itself, not just the `timeout` wrapper.
                 p = subprocess.Popen(
-                    ["timeout", "-s", "INT", "400",
+                    ["timeout", "-k", "20", "-s", "INT", "400",
                      sys.executable, "-c",
                      "import jax, jax.numpy as jnp, numpy;"
                      "numpy.asarray(jnp.ones(()))"],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    start_new_session=True)
                 try:
-                    p.wait(timeout=420)
+                    p.wait(timeout=440)
                 except subprocess.TimeoutExpired:
-                    p.kill()
+                    try:
+                        os.killpg(p.pid, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        p.kill()
                     p.wait(timeout=30)
-                    print("# nudge timed out after 420s and was killed "
-                          "mid-dispatch — this is itself an ungraceful "
-                          "TPU-process kill and may re-wedge the next "
-                          "dispatch", file=sys.stderr)
+                    print("# nudge timed out after 440s and its whole "
+                          "process group was killed mid-dispatch — "
+                          "this is itself an ungraceful TPU-process "
+                          "kill and may re-wedge the next dispatch",
+                          file=sys.stderr)
             except Exception as e:
                 print(f"# nudge subprocess failed: "
                       f"{type(e).__name__}: {str(e)[:120]}",
@@ -81,3 +92,27 @@ def guard(stall_s: float = 120.0, attempts: int = 5,
 
     disarm.thread = t
     return disarm
+
+
+def warm_first_dispatch(stall_s: float | None = None,
+                        label: str = "first dispatch"):
+    """Complete one tiny jitted dispatch+readback under the watchdog.
+
+    The whole arm → dispatch → disarm protocol in one call, so every CLI
+    (train, eval, bench) warms the tunnel the same way. ``stall_s``
+    defaults to the ``IDEEPCOLOR_UNWEDGE_STALL_S`` env var (240 s — a
+    cold first compile is ~20-40 s, so this never fires spuriously).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if stall_s is None:
+        stall_s = float(os.environ.get("IDEEPCOLOR_UNWEDGE_STALL_S", "240"))
+    disarm = guard(stall_s=stall_s, label=label)
+    try:
+        np.asarray(jax.jit(lambda x: x + 1.0)(jnp.zeros((2,), jnp.float32)))
+    finally:
+        disarm()

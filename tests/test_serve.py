@@ -1026,3 +1026,31 @@ def test_session_click_abq_mode_close_to_rgb(monkeypatch):
 
     monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "bogus")   # -> rgb
     assert svc.session_click(sid, hints) == png_rgb
+
+
+def test_warmup_warms_rgb_click_program_under_abq(monkeypatch):
+    """Under IDEEPCOLOR_NET_CLICK=abq a plain warmup click compiles only
+    the abq program, but fullres session clicks are forced onto the
+    batch-1 rgb table program — warmup must touch BOTH so the first
+    /session/click?fullres=1 never pays a compile mid-request. Spies on
+    the call pattern (the heavy programs are stubbed)."""
+    from ideepcolor_tpu.apps import serve as serve_mod
+    svc = serve_mod.ColorizeService(size=64)
+    calls = []
+    monkeypatch.setattr(svc, "colorize", lambda *a, **k: b"")
+    monkeypatch.setattr(svc, "colorize_global", lambda *a, **k: b"")
+    svc.batcher = svc.batcher_fast = None
+    monkeypatch.setattr(svc, "session_open", lambda body: {"id": "warm"})
+    monkeypatch.setattr(svc, "session_close", lambda sid: None)
+    monkeypatch.setattr(
+        svc, "session_click",
+        lambda sid, hints, fullres=False: calls.append(fullres) or b"")
+
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "abq")
+    svc.warmup()
+    assert calls == [False, True]   # abq program, then the rgb/fullres one
+
+    calls.clear()
+    monkeypatch.setenv("IDEEPCOLOR_NET_CLICK", "rgb")
+    svc.warmup()
+    assert calls == [False]         # rgb mode needs no extra click
